@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Single-image inference (the reference's inference-on-image entry point).
+
+    python scripts/infer_image.py --preset fcn8s_kitti --image um_000000.png \
+        --checkpoint-dir checkpoints --out overlay.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fcn8s_kitti")
+    p.add_argument("--model", default=None)
+    p.add_argument("--image", required=True)
+    p.add_argument("--out", default="overlay.png")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--alpha", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.infer import Predictor
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    cfg = get_preset(args.preset)
+    model_name = args.model or cfg.model
+    dc = cfg.data
+    model = build_model(model_name, num_classes=dc.num_classes, **cfg.model_kwargs)
+    stride = getattr(model, "total_stride", 32)
+    h = -(-dc.image_size[0] // stride) * stride
+    w = -(-dc.image_size[1] // stride) * stride
+
+    tx = make_optimizer("adam", 1e-4)
+    state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    if ckpt.latest_step() is None:
+        print("warning: no checkpoint found; using random weights",
+              file=sys.stderr)
+    state = ckpt.restore(state)
+    variables = {"params": state.params}
+    if jax.tree.leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    predictor = Predictor(model, variables, dc.image_size,
+                          mean=dc.mean, std=dc.std, alpha=args.alpha)
+    overlay, labels = predictor.predict_file(args.image)
+    Image.fromarray(overlay).save(args.out)
+    road_frac = float(np.mean(labels != 0))
+    print(f"wrote {args.out} (non-background fraction {road_frac:.3f})")
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Test-set sweep: overlays for every testing/image_2 PNG to runs/<ts>/
+(the reference's `test` entry point / save_inference_samples, SURVEY.md §3.2).
+
+    python scripts/test.py --preset fcn8s_kitti --data-dir data_road
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fcn8s_kitti")
+    p.add_argument("--model", default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--runs-dir", default="runs")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.data import KittiRoadDataset
+    from semanticsegmentation_tensorflow_tpu.infer import (
+        Predictor, save_inference_samples,
+    )
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    cfg = get_preset(args.preset)
+    dc = cfg.data
+    model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
+                        **cfg.model_kwargs)
+    stride = getattr(model, "total_stride", 32)
+    h = -(-dc.image_size[0] // stride) * stride
+    w = -(-dc.image_size[1] // stride) * stride
+
+    state = create_train_state(model, jax.random.key(0), (1, h, w, 3),
+                               make_optimizer("adam", 1e-4))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore(state)
+    variables = {"params": state.params}
+    if jax.tree.leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+
+    ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)
+    predictor = Predictor(model, variables, dc.image_size, mean=dc.mean,
+                          std=dc.std)
+    t0, n = time.perf_counter(), 0
+    for src, dst in save_inference_samples(predictor, ds.test_images,
+                                           args.runs_dir):
+        n += 1
+        print(f"{src} -> {dst}")
+    dt = time.perf_counter() - t0
+    if n:
+        print(f"{n} images in {dt:.2f}s ({n / dt:.2f} img/s)")
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Train entry point (mirrors the reference's per-model train scripts).
+
+    python scripts/train.py --preset fcn8s_kitti --data-dir data_road
+    python scripts/train.py --model segnet --epochs 10 --synthetic
+
+Unlike the reference (one script per model with constants baked in,
+SURVEY.md §1), one CLI drives all models via dataclass configs/presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import tempfile
+
+import jax
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fcn8s_kitti")
+    p.add_argument("--model", default=None, help="override preset model")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated synthetic KITTI fixtures")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device (no shard_map) even with >1 device")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.data import (
+        KittiRoadDataset, generate_synthetic_kitti, make_augment_fn,
+    )
+    from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh, replicate
+    from semanticsegmentation_tensorflow_tpu.train import (
+        create_train_state, make_train_step,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
+    from semanticsegmentation_tensorflow_tpu.train.loop import train
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    cfg = get_preset(args.preset)
+    if args.model:
+        cfg = dataclasses.replace(cfg, model=args.model)
+    tr = cfg.train
+    if args.epochs is not None:
+        tr = dataclasses.replace(tr, epochs=args.epochs)
+    if args.batch_size is not None:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.lr is not None:
+        tr = dataclasses.replace(tr, learning_rate=args.lr)
+    if args.checkpoint_dir is not None:
+        tr = dataclasses.replace(tr, checkpoint_dir=args.checkpoint_dir)
+    if args.seed is not None:
+        tr = dataclasses.replace(tr, seed=args.seed)
+    cfg = dataclasses.replace(cfg, train=tr)
+    dc = cfg.data
+
+    data_dir = args.data_dir or dc.data_dir
+    if args.synthetic:
+        data_dir = generate_synthetic_kitti(
+            tempfile.mkdtemp(prefix="synth_kitti_"), n_train=max(8, tr.batch_size),
+            h=dc.image_size[0], w=dc.image_size[1])
+
+    model = build_model(cfg.model, num_classes=dc.num_classes, **cfg.model_kwargs)
+    stride = getattr(model, "total_stride", 32)
+
+    n_dev = len(jax.devices())
+    mesh = None if (args.no_mesh or n_dev == 1) else make_mesh()
+    print(f"model={cfg.model} devices={n_dev} mesh={'1d-data' if mesh else 'none'}")
+
+    ds = KittiRoadDataset(data_dir, image_size=dc.image_size)
+    loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
+                         seed=tr.seed, mesh=mesh)
+
+    aug = make_augment_fn(dc.mean, dc.std, crop_size=dc.crop_size,
+                          random_flip=dc.random_flip)
+    if dc.crop_size:
+        h, w = dc.crop_size
+    else:
+        h = -(-dc.image_size[0] // stride) * stride
+        w = -(-dc.image_size[1] // stride) * stride
+
+    tx = make_optimizer(tr.optimizer, tr.learning_rate, tr.weight_decay)
+    state = create_train_state(model, jax.random.key(tr.seed),
+                               (tr.batch_size, h, w, 3), tx)
+    ckpt = CheckpointManager(tr.checkpoint_dir)
+    if args.resume:
+        state = ckpt.restore(state)
+        print(f"resumed at step {int(state.step)}")
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug)
+    state, summary = train(
+        state, step_fn, loader.epoch, epochs=tr.epochs,
+        num_classes=dc.num_classes, log_every=tr.log_every,
+        checkpoint_every=tr.checkpoint_every, ckpt=ckpt)
+    print("final:", {k: (v.tolist() if hasattr(v, "tolist") else v)
+                     for k, v in summary.items()})
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,91 @@
+"""Experiment configs.
+
+The reference keeps hyperparameters as module-level constants inside each
+script (SURVEY.md §5 "Config / flag system: absent"). Here they are dataclass
+configs; the five presets mirror BASELINE.json's config list one-to-one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+# KITTI road native resolution (BASELINE.json: 1242x375). Models need
+# stride-aligned inputs; pad_to_multiple handles 1242x375 -> 1248x384.
+KITTI_IMAGE_SIZE = (375, 1242)  # (H, W)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "kitti_road"          # kitti_road | cityscapes | synthetic
+    data_dir: str = "data_road"
+    image_size: tuple[int, int] = KITTI_IMAGE_SIZE  # pre-pad (H, W)
+    num_classes: int = 2
+    crop_size: tuple[int, int] | None = None  # random-crop training size
+    random_flip: bool = True
+    # per-channel normalization (ImageNet-ish stats, uint8 scale)
+    mean: tuple[float, float, float] = (123.68, 116.779, 103.939)
+    std: tuple[float, float, float] = (58.393, 57.12, 57.375)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8                   # global (split across data mesh axis)
+    epochs: int = 50
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    optimizer: str = "adam"               # adam | sgd | adamw
+    log_every: int = 10
+    checkpoint_every: int = 500
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+    mesh_shape: tuple[int, ...] = ()      # () -> all local devices on 'data'
+    remat: bool = False                   # jax.checkpoint the encoder
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "fcn8s_kitti"
+    model: str = "fcn8s"
+    model_kwargs: dict[str, Any] = dataclasses.field(default_factory=dict)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def _cfg(**kw: Any) -> ExperimentConfig:
+    return ExperimentConfig(**kw)
+
+
+# The five BASELINE.json configs, in order.
+PRESETS: dict[str, ExperimentConfig] = {
+    # 1. FCN-8s (VGG16) on KITTI road, single-image inference capable
+    "fcn8s_kitti_infer": _cfg(
+        name="fcn8s_kitti_infer", model="fcn8s",
+        train=TrainConfig(batch_size=1, epochs=0)),
+    # 2. FCN-8s end-to-end training with flip/crop augmentation
+    "fcn8s_kitti": _cfg(
+        name="fcn8s_kitti", model="fcn8s",
+        data=DataConfig(crop_size=(320, 1152))),
+    # 3. U-Net on Cityscapes 19-class crops
+    "unet_cityscapes": _cfg(
+        name="unet_cityscapes", model="unet",
+        data=DataConfig(dataset="cityscapes", data_dir="cityscapes",
+                        num_classes=19, image_size=(512, 1024),
+                        crop_size=(256, 512))),
+    # 4. SegNet with max-pool-index unpooling
+    "segnet_kitti": _cfg(
+        name="segnet_kitti", model="segnet",
+        data=DataConfig(crop_size=(320, 1152))),
+    # 5. DeepLab-style ASPP + multi-chip data-parallel training over ICI
+    "deeplab_kitti_dp": _cfg(
+        name="deeplab_kitti_dp", model="deeplab",
+        data=DataConfig(crop_size=(320, 1152)),
+        train=TrainConfig(batch_size=16, mesh_shape=())),
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise ValueError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")

@@ -1,0 +1,27 @@
+"""Data layer: dataset discovery, label codecs, augmentation, batching.
+
+Host side does only what must be host-side (PNG decode); everything
+per-pixel (normalize, flip, crop, one-hot) runs on device inside the jitted
+train step — the TPU-native replacement for the reference's per-batch
+feed_dict generator (SURVEY.md §3.5).
+"""
+
+from semanticsegmentation_tensorflow_tpu.data.palette import (  # noqa: F401
+    KITTI_ROAD_PALETTE,
+    encode_labels,
+    decode_labels,
+)
+from semanticsegmentation_tensorflow_tpu.data.kitti import (  # noqa: F401
+    KittiRoadDataset,
+)
+from semanticsegmentation_tensorflow_tpu.data.synthetic import (  # noqa: F401
+    generate_synthetic_kitti,
+    synthetic_batch,
+)
+from semanticsegmentation_tensorflow_tpu.data.augment import (  # noqa: F401
+    make_augment_fn,
+    normalize_images,
+)
+from semanticsegmentation_tensorflow_tpu.data.pipeline import (  # noqa: F401
+    BatchLoader,
+)

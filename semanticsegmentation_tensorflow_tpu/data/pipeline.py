@@ -1,0 +1,109 @@
+"""Host batch loader with RAM cache and background prefetch.
+
+Replaces the reference's synchronous per-batch decode generator (the host
+bottleneck flagged in SURVEY.md §3.1). KITTI road is small (~300 images), so
+decoded uint8 examples are cached in RAM after the first epoch; batches are
+stacked uint8 (normalization happens on device, see augment.py) and staged to
+device asynchronously one batch ahead of the training loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+from semanticsegmentation_tensorflow_tpu.data.kitti import KittiRoadDataset
+from semanticsegmentation_tensorflow_tpu.parallel.mesh import shard_batch
+
+
+class BatchLoader:
+    """Shuffled, padded, prefetched uint8 batches from a KITTI-style dataset.
+
+    Spatial dims are edge-padded up to ``pad_multiple`` (stride alignment,
+    ops/shape.py convention); padded pixels get valid=0 so they are invisible
+    to loss and metrics.
+    """
+
+    def __init__(self, dataset: KittiRoadDataset, batch_size: int,
+                 pad_multiple: int = 32, seed: int = 0, mesh=None,
+                 drop_remainder: bool = True, cache: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.pad_multiple = pad_multiple
+        self.mesh = mesh
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        self._cache: dict[str, tuple] | None = {} if cache else None
+
+    # -- host-side example assembly -------------------------------------
+    def _get(self, path: str):
+        if self._cache is not None and path in self._cache:
+            return self._cache[path]
+        ex = self.ds.load_example(path)
+        if self._cache is not None:
+            self._cache[path] = ex
+        return ex
+
+    def _pad(self, img, lbl, val):
+        m = self.pad_multiple
+        h, w = lbl.shape
+        ph, pw = (-h) % m, (-w) % m
+        if ph or pw:
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            lbl = np.pad(lbl, ((0, ph), (0, pw)))
+            val = np.pad(val, ((0, ph), (0, pw)))  # padded -> invalid
+        return img, lbl, val
+
+    def _stack(self, paths: list[str]) -> dict[str, np.ndarray]:
+        imgs, lbls, vals = [], [], []
+        for p in paths:
+            i, l, v = self._pad(*self._get(p))
+            imgs.append(i); lbls.append(l); vals.append(v)
+        return {"image": np.stack(imgs), "label": np.stack(lbls),
+                "valid": np.stack(vals)}
+
+    def _host_epoch(self) -> Iterator[dict[str, np.ndarray]]:
+        paths = list(self.ds.train_images)
+        self._rng.shuffle(paths)
+        bs = self.batch_size
+        for i in range(0, len(paths), bs):
+            chunk = paths[i:i + bs]
+            if len(chunk) < bs:
+                if self.drop_remainder:
+                    break
+                chunk = chunk + paths[: bs - len(chunk)]  # wrap-pad
+            yield self._stack(chunk)
+
+    # -- device staging with one-batch-ahead prefetch --------------------
+    def epoch(self) -> Iterator[dict]:
+        """Yields device-resident batches (sharded over the mesh if given)."""
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def put(batch):
+            if self.mesh is not None:
+                return shard_batch(batch, self.mesh)
+            return jax.device_put(batch)
+
+        def producer():
+            try:
+                for b in self._host_epoch():
+                    q.put(put(b))  # device_put is async; overlaps compute
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is None:
+                return
+            yield b
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.ds.train_images)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)

@@ -1,0 +1,81 @@
+"""Prediction + overlay writing (the reference's test / inference-on-image
+entry points, SURVEY.md §3.2-3.3).
+
+The whole per-image pipeline — normalize, pad to stride alignment, forward,
+crop logits, argmax, colormap, alpha blend — is ONE jitted device program;
+only uint8 pixels cross the host boundary in either direction. Overlays are
+written to ``runs/<timestamp>/`` like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentation_tensorflow_tpu.data.augment import normalize_images
+from semanticsegmentation_tensorflow_tpu.data.kitti import load_image
+from semanticsegmentation_tensorflow_tpu.data.palette import KITTI_OVERLAY_PALETTE
+from semanticsegmentation_tensorflow_tpu.ops.overlay import argmax_colormap_overlay
+from semanticsegmentation_tensorflow_tpu.ops.shape import pad_to_multiple, crop_to
+
+
+class Predictor:
+    """Jitted forward + overlay for a fixed image size."""
+
+    def __init__(self, model: nn.Module, variables: dict,
+                 image_size: tuple[int, int],
+                 mean: Sequence[float] = (123.68, 116.779, 103.939),
+                 std: Sequence[float] = (58.393, 57.12, 57.375),
+                 overlay_palette: np.ndarray = KITTI_OVERLAY_PALETTE,
+                 alpha: float = 0.5):
+        self.image_size = image_size
+        stride = getattr(model, "total_stride", 32)
+        palette = jnp.asarray(overlay_palette)
+        mean = tuple(mean); std = tuple(std)
+
+        def fwd(image_u8: jax.Array) -> tuple[jax.Array, jax.Array]:
+            x = normalize_images(image_u8, mean, std)
+            x = pad_to_multiple(x, stride)
+            logits = model.apply(variables, x, train=False)
+            logits = crop_to(logits, *image_size)
+            return argmax_colormap_overlay(image_u8, logits, palette, alpha)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, image_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """[H,W,3] or [N,H,W,3] uint8 -> (overlay u8, labels i32), same rank."""
+        squeeze = image_u8.ndim == 3
+        if squeeze:
+            image_u8 = image_u8[None]
+        overlay, labels = self._fwd(jnp.asarray(image_u8))
+        overlay, labels = np.asarray(overlay), np.asarray(labels)
+        return (overlay[0], labels[0]) if squeeze else (overlay, labels)
+
+    def predict_file(self, path: str) -> tuple[np.ndarray, np.ndarray]:
+        return self(load_image(path, self.image_size))
+
+
+def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
+                           runs_dir: str = "runs",
+                           ) -> Iterator[tuple[str, str]]:
+    """Run the test sweep; writes overlay PNGs to runs/<timestamp>/.
+
+    Yields (image_path, output_path) as each file lands (streaming, like the
+    reference's generator).
+    """
+    from PIL import Image
+
+    out_dir = os.path.join(runs_dir, time.strftime("%Y%m%d-%H%M%S"))
+    os.makedirs(out_dir, exist_ok=True)
+    for p in image_paths:
+        overlay, _ = predictor.predict_file(p)
+        out_path = os.path.join(out_dir, os.path.basename(p))
+        Image.fromarray(overlay).save(out_path)
+        yield p, out_path

@@ -1,0 +1,58 @@
+"""FCN-8s: VGG16 encoder + transposed-conv decoder with add-fused skips.
+
+Semantics follow the FCN paper (PAPERS.md: arxiv 1411.4038) and the
+reference's decoder shape (SURVEY.md §3.4): 1x1 score convs on pool3 / pool4 /
+conv7, 2x -> +pool4, 2x -> +pool3, 8x -> full-res logits.
+
+TPU notes: flax ConvTranspose lowers to `lax.conv_transpose`, which XLA
+compiles as a fractionally-strided conv on the MXU — for even strides with
+SAME padding this matches TF's conv2d_transpose output shapes exactly (golden
+shape tests in tests/test_models.py). Skip fusion is an elementwise add, fused
+by XLA into the preceding conv. Requires H, W % 32 == 0 (pad via
+ops.shape.pad_to_multiple).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE
+from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
+
+_SCORE_INIT = nn.initializers.normal(stddev=0.01)
+
+
+class FCN8s(nn.Module):
+    num_classes: int = 2
+    fc_features: int = 1024
+    width_mult: float = 1.0
+    use_bn: bool = False
+    dtype: jnp.dtype = DEFAULT_DTYPE
+    total_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        ends = VGG16(fc_features=self.fc_features, width_mult=self.width_mult,
+                     use_bn=self.use_bn, dtype=self.dtype, name="vgg16")(x, train=train)
+
+        def score(t, name):
+            return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                           kernel_init=_SCORE_INIT, name=name)(t)
+
+        def up(t, factor, name):
+            return nn.ConvTranspose(
+                self.num_classes, (factor * 2, factor * 2),
+                strides=(factor, factor), padding="SAME",
+                dtype=self.dtype, kernel_init=_SCORE_INIT, name=name,
+            )(t)
+
+        s7 = score(ends["conv7"], "score_conv7")          # /32
+        s4 = score(ends["pool4"], "score_pool4")          # /16
+        s3 = score(ends["pool3"], "score_pool3")          # /8
+
+        x = up(s7, 2, "up2_conv7") + s4                   # /16
+        x = up(x, 2, "up2_fuse4") + s3                    # /8
+        x = up(x, 8, "up8_final")                         # /1
+        return x.astype(jnp.float32)

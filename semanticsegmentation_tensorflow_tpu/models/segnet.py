@@ -1,0 +1,54 @@
+"""SegNet: VGG-style encoder + max-pool-index unpooling decoder.
+
+Matches the reference's "SegNet variant with max-pool-index unpooling"
+(BASELINE.json config 4; SegNet paper, PAPERS.md arxiv 1511.00561): the
+encoder records the argmax position of every 2x2 max pool; the decoder
+upsamples by placing each value back at its recorded position (zeros
+elsewhere), then convolves. No learned upsampling.
+
+TPU notes: TF's max_pool_with_argmax + scatter-based unpool would be a
+disaster on TPU (global int64 indices + scatter). Instead the encoder carries
+an int8 *within-window* index and the decoder unpools via a dense one-hot
+multiply in window layout (ops/pool.py) — no gather/scatter, fully fused.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE, ConvBlock
+from semanticsegmentation_tensorflow_tpu.ops.pool import max_pool_with_argmax, max_unpool
+
+# (n_convs, features) per SegNet/VGG16 encoder stage.
+_STAGES: tuple[tuple[int, int], ...] = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class SegNet(nn.Module):
+    num_classes: int = 2
+    width_mult: float = 1.0
+    use_bn: bool = True  # SegNet paper uses BN throughout
+    dtype: jnp.dtype = DEFAULT_DTYPE
+    total_stride: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        indices: list[jax.Array] = []
+        for i, (n_convs, feats) in enumerate(_STAGES, start=1):
+            feats = max(8, int(feats * self.width_mult))
+            x = ConvBlock(feats, n_convs=n_convs, use_bn=self.use_bn,
+                          dtype=self.dtype, name=f"enc{i}")(x, train=train)
+            x, idx = max_pool_with_argmax(x, 2)
+            indices.append(idx)
+
+        for i, (n_convs, feats) in reversed(list(enumerate(_STAGES, start=1))):
+            # decoder stage i outputs the width of the *previous* encoder stage
+            out_feats = _STAGES[i - 2][1] if i > 1 else _STAGES[0][1]
+            out_feats = max(8, int(out_feats * self.width_mult))
+            x = max_unpool(x, indices[i - 1], 2)
+            x = ConvBlock(out_feats, n_convs=n_convs, use_bn=self.use_bn,
+                          dtype=self.dtype, name=f"dec{i}")(x, train=train)
+
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,88 @@
+"""VGG16 feature extractor (FCN/SegNet/DeepLab backbone).
+
+The reference's FCN script loads a pretrained TF VGG16 graph and taps pool3 /
+pool4 / the fc-as-conv conv7 (SURVEY.md §3.4; BASELINE.json:7 "VGG16
+backbone"). No pretrained weights are fetchable in this offline environment,
+so the backbone trains from scratch (he-init) and exposes a weight-import hook
+(`load_npz_weights`) keyed by canonical layer names for when a weight blob is
+available.
+
+TPU notes: fc6/fc7 follow FCN's "convolutionalized" form but with the channel
+width configurable (the classic 4096 is 90% of FCN-8s FLOPs for ~0 mIoU on a
+2-class road task; default 1024 keeps the MXU busy without wasting HBM).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE, ConvBlock
+from semanticsegmentation_tensorflow_tpu.ops.pool import max_pool
+
+# (n_convs, features) per VGG16 stage.
+VGG16_STAGES: tuple[tuple[int, int], ...] = (
+    (2, 64), (2, 128), (3, 256), (3, 512), (3, 512),
+)
+
+
+class VGG16(nn.Module):
+    """Returns a dict of endpoints: pool1..pool5, conv7.
+
+    ``dilated_last_stages`` switches stages 4-5 to stride-1 atrous convs
+    (output stride 8 instead of 32) — the DeepLab trick.
+    """
+
+    fc_features: int = 1024
+    width_mult: float = 1.0
+    use_bn: bool = False
+    dilated_last_stages: bool = False
+    dtype: jnp.dtype = DEFAULT_DTYPE
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> dict[str, jax.Array]:
+        ends: dict[str, jax.Array] = {}
+        dilation = 1
+        for i, (n_convs, feats) in enumerate(VGG16_STAGES, start=1):
+            feats = max(8, int(feats * self.width_mult))
+            dilate_stage = self.dilated_last_stages and i >= 4
+            x = ConvBlock(
+                feats, n_convs=n_convs, use_bn=self.use_bn,
+                dilation=dilation, dtype=self.dtype, name=f"stage{i}",
+            )(x, train=train)
+            if dilate_stage:
+                dilation *= 2  # stride folded into dilation: receptive field kept
+                ends[f"pool{i}"] = x
+            else:
+                x = max_pool(x, 2)
+                ends[f"pool{i}"] = x
+
+        # fc6/fc7 as convs (FCN "convolutionalization"). 7x7 at the classic
+        # VGG receptive field; dilated variant widens it accordingly.
+        x = nn.Conv(self.fc_features, (7, 7), padding="SAME",
+                    kernel_dilation=(dilation, dilation),
+                    dtype=self.dtype, name="conv6")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.fc_features, (1, 1), dtype=self.dtype, name="conv7")(x)
+        x = nn.relu(x)
+        ends["conv7"] = x
+        return ends
+
+
+def load_npz_weights(params: dict, npz_path: str) -> dict:
+    """Import hook: overwrite matching VGG16 kernels/biases from an .npz
+    archive with keys like ``stage1/conv0/kernel`` (HWIO layout). Entries
+    missing from the archive keep their random init. Returns new params."""
+    import numpy as np
+    import flax
+
+    blob = np.load(npz_path)
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    loaded = dict(flat)
+    for key, val in flat.items():
+        if key in blob.files and blob[key].shape == val.shape:
+            loaded[key] = jnp.asarray(blob[key], dtype=val.dtype)
+    return flax.traverse_util.unflatten_dict(loaded, sep="/")

@@ -1,0 +1,14 @@
+"""Parallelism: device mesh construction, batch sharding, collectives.
+
+The reference is single-process single-device; multi-chip data-parallel
+training over ICI is a framework requirement (BASELINE.json config 5). The
+design is mesh-size-agnostic: the same code runs on 1 real TPU chip, a v5e
+pod slice, or N fake CPU devices in tests.
+"""
+
+from semanticsegmentation_tensorflow_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    DATA_AXIS,
+)

@@ -1,0 +1,75 @@
+"""Segmentation metrics: jit-friendly confusion matrix -> mIoU / pixel acc.
+
+The reference prints only the loss; BASELINE.json makes mIoU parity a target,
+so the framework owns the metric. The confusion matrix is computed as a
+bincount over ``true * C + pred`` — one pass, integer math, no host sync; it
+accumulates across steps as a plain [C, C] array inside the jitted eval step
+(and psum-reduces across the data mesh axis when sharded).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def confusion_matrix(
+    true_labels: jax.Array,
+    pred_labels: jax.Array,
+    num_classes: int,
+    valid_mask: jax.Array | None = None,
+) -> jax.Array:
+    """[C, C] counts, rows = true class, cols = predicted class."""
+    t = true_labels.reshape(-1).astype(jnp.int32)
+    p = pred_labels.reshape(-1).astype(jnp.int32)
+    idx = t * num_classes + p
+    if valid_mask is not None:
+        v = valid_mask.reshape(-1)
+        # dump invalid pixels into a sacrificial bin, then drop it
+        idx = jnp.where(v > 0, idx, num_classes * num_classes)
+        counts = jnp.bincount(idx, length=num_classes * num_classes + 1)[:-1]
+    else:
+        counts = jnp.bincount(idx, length=num_classes * num_classes)
+    return counts.reshape(num_classes, num_classes)
+
+
+def iou_from_confusion(cm: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Returns (per-class IoU [C], mIoU over classes present in true or pred)."""
+    cm = cm.astype(jnp.float64) if cm.dtype == jnp.int64 else cm.astype(jnp.float32)
+    tp = jnp.diag(cm)
+    denom = cm.sum(axis=0) + cm.sum(axis=1) - tp
+    iou = jnp.where(denom > 0, tp / jnp.maximum(denom, 1.0), 0.0)
+    present = (denom > 0).astype(iou.dtype)
+    miou = jnp.sum(iou * present) / jnp.maximum(jnp.sum(present), 1.0)
+    return iou, miou
+
+
+class SegMetrics(NamedTuple):
+    """Accumulating metric state — a pytree, safe to carry through jit."""
+
+    cm: jax.Array          # [C, C] int32
+    loss_sum: jax.Array    # scalar f32
+    count: jax.Array       # scalar int32 (steps)
+
+    @classmethod
+    def zero(cls, num_classes: int) -> "SegMetrics":
+        return cls(cm=jnp.zeros((num_classes, num_classes), jnp.int32),
+                   loss_sum=jnp.zeros((), jnp.float32),
+                   count=jnp.zeros((), jnp.int32))
+
+    def update(self, cm: jax.Array, loss: jax.Array) -> "SegMetrics":
+        return SegMetrics(self.cm + cm.astype(jnp.int32),
+                          self.loss_sum + loss, self.count + 1)
+
+    def summary(self) -> dict[str, jax.Array]:
+        iou, miou = iou_from_confusion(self.cm)
+        total = jnp.maximum(self.cm.sum(), 1)
+        acc = jnp.diag(self.cm).sum() / total
+        return {
+            "loss": self.loss_sum / jnp.maximum(self.count, 1),
+            "miou": miou,
+            "pixel_acc": acc,
+            "iou": iou,
+        }

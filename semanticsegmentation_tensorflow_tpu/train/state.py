@@ -1,0 +1,68 @@
+"""Train state: params + optimizer + RNG + (optional) batch stats.
+
+The reference's analog is the ad-hoc (sess, train_op, saver) triple. Here the
+whole mutable training world is one pytree so a step is a pure function
+``(state, batch) -> (state, metrics)`` — shardable, checkpointable, donatable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    batch_stats: Any          # {} for BN-free models
+    rng: jax.Array            # per-step dropout/augment key
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads: Any, **changes: Any) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state, **changes)
+
+
+def make_optimizer(name: str, learning_rate: float,
+                   weight_decay: float = 0.0) -> optax.GradientTransformation:
+    if name == "adam":
+        tx = optax.adam(learning_rate)
+    elif name == "adamw":
+        tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    elif name == "sgd":
+        tx = optax.sgd(learning_rate, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if weight_decay and name == "adam":
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def create_train_state(
+    model: nn.Module,
+    rng: jax.Array,
+    input_shape: tuple[int, int, int, int],
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(init_rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=batch_stats,
+        rng=state_rng,
+        apply_fn=model.apply,
+        tx=tx,
+    )

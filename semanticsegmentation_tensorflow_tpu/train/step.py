@@ -1,0 +1,131 @@
+"""The train/eval steps — single jitted XLA programs, optionally SPMD.
+
+Replaces the reference's per-batch ``sess.run(feed_dict=...)`` (SURVEY.md
+§3.1, the host->device bottleneck) with donated HBM-resident batches and a
+fully fused fwd+bwd+update graph. With a mesh, the step runs under
+``jax.shard_map``: batch sharded on the ``data`` axis, params replicated,
+gradients/batch-stats ``lax.pmean``-allreduced over ICI, confusion-matrix
+counts ``lax.psum``-reduced — the TPU-native equivalent of the multi-GPU
+allreduce the reference never had (BASELINE.json config 5).
+
+Batch contract (all leaves leading dim = global batch):
+  image: [N, H, W, 3] float32, already normalized (or uint8 + augment_fn)
+  label: [N, H, W] int32 class ids
+  valid: [N, H, W] bool/int — optional; padded pixels masked from loss+metrics
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from semanticsegmentation_tensorflow_tpu.parallel.mesh import DATA_AXIS
+from semanticsegmentation_tensorflow_tpu.train.loss import softmax_cross_entropy_loss
+from semanticsegmentation_tensorflow_tpu.train.metrics import confusion_matrix
+from semanticsegmentation_tensorflow_tpu.train.state import TrainState
+
+AugmentFn = Callable[[jax.Array, dict], dict]  # (rng, batch) -> batch
+
+
+def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
+                  train: bool):
+    has_bn = bool(jax.tree.leaves(state.batch_stats))
+    variables = {"params": params}
+    if has_bn:
+        variables["batch_stats"] = state.batch_stats
+    if train and has_bn:
+        logits, mutated = state.apply_fn(variables, batch["image"], train=True,
+                                         mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        logits = state.apply_fn(variables, batch["image"], train=train)
+        new_stats = state.batch_stats
+    onehot = jax.nn.one_hot(batch["label"], num_classes, dtype=logits.dtype)
+    loss = softmax_cross_entropy_loss(logits, onehot, batch.get("valid"))
+    return loss, (logits, new_stats)
+
+
+def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
+                     augment_fn: AugmentFn | None, axis: str | None):
+    step_rng = jax.random.fold_in(state.rng, state.step)
+    if axis is not None:
+        # decorrelate augmentation across shards
+        step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis))
+    if augment_fn is not None:
+        batch = augment_fn(step_rng, batch)
+
+    grad_fn = jax.value_and_grad(
+        lambda p: _forward_loss(state, p, batch, num_classes, train=True),
+        has_aux=True)
+    (loss, (logits, new_stats)), grads = grad_fn(state.params)
+
+    if axis is not None:
+        grads = lax.pmean(grads, axis)
+        loss = lax.pmean(loss, axis)
+        new_stats = jax.tree.map(lambda s: lax.pmean(s, axis), new_stats)
+
+    new_state = state.apply_gradients(grads, batch_stats=new_stats)
+
+    preds = jnp.argmax(logits, axis=-1)
+    cm = confusion_matrix(batch["label"], preds, num_classes, batch.get("valid"))
+    if axis is not None:
+        cm = lax.psum(cm, axis)
+    return new_state, {"loss": loss, "cm": cm}
+
+
+def make_train_step(num_classes: int, mesh: Mesh | None = None,
+                    augment_fn: AugmentFn | None = None) -> Callable:
+    """Build the jitted train step ``(state, batch) -> (state, metrics)``.
+
+    With ``mesh``, the returned function is an SPMD program over the ``data``
+    axis; without, a plain single-device jit. ``state`` is donated either way.
+    """
+    if mesh is None:
+        body = partial(_train_step_body, num_classes=num_classes,
+                       augment_fn=augment_fn, axis=None)
+        return jax.jit(body, donate_argnums=(0,))
+
+    body = partial(_train_step_body, num_classes=num_classes,
+                   augment_fn=augment_fn, axis=DATA_AXIS)
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(
+        sharded,
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS))),
+        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+        donate_argnums=(0,),
+    )
+
+
+def _eval_step_body(state: TrainState, batch: dict, *, num_classes: int,
+                    axis: str | None):
+    loss, (logits, _) = _forward_loss(state, state.params, batch, num_classes,
+                                      train=False)
+    preds = jnp.argmax(logits, axis=-1)
+    cm = confusion_matrix(batch["label"], preds, num_classes, batch.get("valid"))
+    if axis is not None:
+        cm = lax.psum(cm, axis)
+        loss = lax.pmean(loss, axis)
+    return {"loss": loss, "cm": cm, "pred": preds}
+
+
+def make_eval_step(num_classes: int, mesh: Mesh | None = None) -> Callable:
+    if mesh is None:
+        return jax.jit(partial(_eval_step_body, num_classes=num_classes, axis=None))
+    body = partial(_eval_step_body, num_classes=num_classes, axis=DATA_AXIS)
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs={"loss": P(), "cm": P(), "pred": P(DATA_AXIS)},
+        check_vma=False,
+    )
+    return jax.jit(sharded)

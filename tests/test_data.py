@@ -1,0 +1,121 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentation_tensorflow_tpu.data import (
+    KittiRoadDataset, generate_synthetic_kitti, synthetic_batch,
+    make_augment_fn, normalize_images, encode_labels, decode_labels,
+)
+from semanticsegmentation_tensorflow_tpu.data.palette import KITTI_ROAD_PALETTE
+from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
+
+
+def test_palette_roundtrip():
+    ids = np.random.default_rng(0).integers(0, 2, (16, 24)).astype(np.int32)
+    rgb = decode_labels(ids)
+    back, valid = encode_labels(rgb)
+    np.testing.assert_array_equal(back, ids)
+    assert valid.all()
+
+
+def test_encode_marks_unknown_colors_invalid():
+    rgb = np.zeros((4, 4, 3), np.uint8)  # black: in no palette entry
+    ids, valid = encode_labels(rgb, KITTI_ROAD_PALETTE)
+    assert not valid.any()
+    assert (ids == 0).all()
+
+
+def test_synthetic_kitti_tree_and_loader(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "data_road"),
+                                 n_train=4, n_test=2, h=96, w=160)
+    ds = KittiRoadDataset(d, image_size=(96, 160))
+    assert len(ds.train_images) == 4
+    assert len(ds.test_images) == 2
+    img, lbl, valid = ds.load_example(ds.train_images[0])
+    assert img.shape == (96, 160, 3) and img.dtype == np.uint8
+    assert lbl.shape == (96, 160) and set(np.unique(lbl)) <= {0, 1}
+    assert valid.all()  # synthetic GT has no ignore pixels
+    assert (lbl == 1).any()  # road present
+
+
+def test_batch_loader_pads_and_masks(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=4, n_test=0,
+                                 h=94, w=150)
+    ds = KittiRoadDataset(d, image_size=(94, 150))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=32)
+    batches = list(loader.epoch())
+    assert len(batches) == loader.steps_per_epoch() == 2
+    b = jax.device_get(batches[0])
+    assert b["image"].shape == (2, 96, 160, 3)
+    assert b["label"].shape == (2, 96, 160)
+    assert not b["valid"][:, 94:, :].any()  # padding masked out
+    assert not b["valid"][:, :, 150:].any()
+    assert b["valid"][:, :94, :150].all()
+
+
+def test_normalize_images():
+    img = jnp.full((1, 2, 2, 3), 100, jnp.uint8)
+    out = normalize_images(img, (100, 50, 0), (1, 2, 4))
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), [0.0, 25.0, 25.0])
+
+
+class TestAugment:
+    def _batch(self, n=4, h=32, w=48):
+        rng = np.random.default_rng(0)
+        return {
+            "image": rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8),
+            "label": rng.integers(0, 2, (n, h, w)).astype(np.int32),
+            "valid": np.ones((n, h, w), bool),
+        }
+
+    def test_crop_shapes(self):
+        aug = make_augment_fn((0, 0, 0), (1, 1, 1), crop_size=(16, 24))
+        out = aug(jax.random.key(0), self._batch())
+        assert out["image"].shape == (4, 16, 24, 3)
+        assert out["label"].shape == (4, 16, 24)
+        assert out["valid"].shape == (4, 16, 24)
+        assert out["image"].dtype == jnp.float32
+
+    def test_flip_consistency_image_label(self):
+        """Wherever a flip happened, image and label flip together."""
+        b = self._batch()
+        aug = make_augment_fn((0, 0, 0), (1, 1, 1), crop_size=None,
+                              random_flip=True)
+        out = jax.device_get(aug(jax.random.key(3), b))
+        for i in range(4):
+            straight = np.allclose(out["image"][i], b["image"][i].astype(np.float32))
+            flipped = np.allclose(out["image"][i], b["image"][i, :, ::-1].astype(np.float32))
+            assert straight or flipped
+            if flipped:
+                np.testing.assert_array_equal(out["label"][i], b["label"][i, :, ::-1])
+            else:
+                np.testing.assert_array_equal(out["label"][i], b["label"][i])
+
+    def test_augment_is_jittable_and_deterministic(self):
+        aug = make_augment_fn((0, 0, 0), (1, 1, 1), crop_size=(16, 16))
+        f = jax.jit(aug)
+        b = self._batch()
+        o1 = jax.device_get(f(jax.random.key(7), b))
+        o2 = jax.device_get(f(jax.random.key(7), b))
+        np.testing.assert_array_equal(o1["image"], o2["image"])
+
+    def test_crop_randomness_across_examples(self):
+        b = self._batch(n=8)
+        b["image"] = np.broadcast_to(
+            np.arange(48, dtype=np.uint8)[None, None, :, None],
+            (8, 32, 48, 3)).copy()
+        aug = make_augment_fn((0, 0, 0), (1, 1, 1), crop_size=(16, 16),
+                              random_flip=False)
+        out = jax.device_get(aug(jax.random.key(0), b))
+        starts = {int(out["image"][i, 0, 0, 0]) for i in range(8)}
+        assert len(starts) > 1  # different crops per example
+
+
+def test_synthetic_batch_contract():
+    b = synthetic_batch(2, 64, 96)
+    assert b["image"].shape == (2, 64, 96, 3)
+    assert b["image"].dtype == np.float32
+    assert b["label"].dtype == np.int32
+    assert b["valid"].all()

@@ -1,0 +1,50 @@
+import os
+
+import numpy as np
+
+from semanticsegmentation_tensorflow_tpu.data import generate_synthetic_kitti
+from semanticsegmentation_tensorflow_tpu.data.kitti import KittiRoadDataset
+from semanticsegmentation_tensorflow_tpu.infer import (
+    Predictor, save_inference_samples,
+)
+from semanticsegmentation_tensorflow_tpu.models import UNet
+
+import jax
+
+
+def _predictor(image_size=(94, 150)):
+    model = UNet(num_classes=2, base_features=8)
+    h = -(-image_size[0] // 16) * 16
+    w = -(-image_size[1] // 16) * 16
+    vs = model.init(jax.random.key(0),
+                    np.zeros((1, h, w, 3), np.float32), train=False)
+    return Predictor(model, vs, image_size)
+
+
+def test_predict_single_image_shapes():
+    p = _predictor()
+    img = np.random.default_rng(0).integers(0, 255, (94, 150, 3)).astype(np.uint8)
+    overlay, labels = p(img)
+    assert overlay.shape == (94, 150, 3) and overlay.dtype == np.uint8
+    assert labels.shape == (94, 150) and set(np.unique(labels)) <= {0, 1}
+
+
+def test_predict_batch():
+    p = _predictor()
+    imgs = np.zeros((3, 94, 150, 3), np.uint8)
+    overlay, labels = p(imgs)
+    assert overlay.shape == (3, 94, 150, 3)
+    assert labels.shape == (3, 94, 150)
+
+
+def test_save_inference_samples_writes_runs_dir(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=1, n_test=3,
+                                 h=94, w=150)
+    ds = KittiRoadDataset(d, image_size=(94, 150))
+    p = _predictor()
+    outs = list(save_inference_samples(p, ds.test_images,
+                                       runs_dir=str(tmp_path / "runs")))
+    assert len(outs) == 3
+    for src, dst in outs:
+        assert os.path.exists(dst)
+        assert os.path.basename(dst) == os.path.basename(src)

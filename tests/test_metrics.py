@@ -1,0 +1,68 @@
+import jax.numpy as jnp
+import numpy as np
+
+from semanticsegmentation_tensorflow_tpu.train.metrics import (
+    SegMetrics, confusion_matrix, iou_from_confusion,
+)
+from semanticsegmentation_tensorflow_tpu.train.loss import (
+    softmax_cross_entropy_loss,
+)
+
+
+def test_confusion_matrix_counts():
+    true = jnp.asarray([[0, 0, 1, 1, 2]])
+    pred = jnp.asarray([[0, 1, 1, 1, 0]])
+    cm = np.asarray(confusion_matrix(true, pred, 3))
+    expected = np.array([[1, 1, 0], [0, 2, 0], [1, 0, 0]])
+    np.testing.assert_array_equal(cm, expected)
+
+
+def test_confusion_matrix_respects_valid_mask():
+    true = jnp.asarray([0, 1, 1])
+    pred = jnp.asarray([0, 1, 0])
+    valid = jnp.asarray([1, 1, 0])
+    cm = np.asarray(confusion_matrix(true, pred, 2, valid))
+    np.testing.assert_array_equal(cm, [[1, 0], [0, 1]])
+
+
+def test_iou_perfect_and_disjoint():
+    perfect = jnp.eye(3) * 10
+    iou, miou = iou_from_confusion(perfect)
+    assert float(miou) == 1.0
+    disjoint = jnp.asarray([[0, 5], [5, 0]], jnp.float32)
+    iou, miou = iou_from_confusion(disjoint)
+    assert float(miou) == 0.0
+
+
+def test_miou_ignores_absent_classes():
+    cm = jnp.zeros((3, 3)).at[0, 0].set(4).at[1, 1].set(4)  # class 2 absent
+    _, miou = iou_from_confusion(cm)
+    assert float(miou) == 1.0
+
+
+def test_seg_metrics_accumulate():
+    m = SegMetrics.zero(2)
+    cm = jnp.asarray([[2, 0], [0, 2]])
+    m = m.update(cm, jnp.float32(1.0)).update(cm, jnp.float32(3.0))
+    s = m.summary()
+    assert float(s["loss"]) == 2.0
+    assert float(s["miou"]) == 1.0
+    assert float(s["pixel_acc"]) == 1.0
+
+
+def test_ce_loss_matches_manual():
+    logits = jnp.asarray([[[[2.0, 0.0], [0.0, 2.0]]]])  # [1,1,2,2]
+    onehot = jnp.asarray([[[[1.0, 0.0], [1.0, 0.0]]]])
+    loss = float(softmax_cross_entropy_loss(logits, onehot))
+    # pixel 1: -log softmax(2,0)[0]; pixel 2: -log softmax(0,2)[0]
+    p1 = np.log(1 + np.exp(-2.0))
+    p2 = np.log(1 + np.exp(2.0))
+    np.testing.assert_allclose(loss, (p1 + p2) / 2, rtol=1e-3)
+
+
+def test_ce_loss_mask_excludes_pixels():
+    logits = jnp.asarray([[[[2.0, 0.0], [0.0, 2.0]]]])
+    onehot = jnp.asarray([[[[1.0, 0.0], [1.0, 0.0]]]])
+    mask = jnp.asarray([[[1.0, 0.0]]])
+    loss = float(softmax_cross_entropy_loss(logits, onehot, mask))
+    np.testing.assert_allclose(loss, np.log(1 + np.exp(-2.0)), rtol=1e-3)

@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semanticsegmentation_tensorflow_tpu.models import (
+    FCN8s, UNet, SegNet, DeepLabASPP, build_model, MODELS,
+)
+
+TINY = {
+    "fcn8s": dict(fc_features=32, width_mult=0.125),
+    "unet": dict(base_features=8),
+    "segnet": dict(width_mult=0.125),
+    "deeplab": dict(aspp_features=16, width_mult=0.125, rates=(2, 4)),
+}
+
+
+@pytest.fixture(scope="module")
+def x():
+    return jax.random.normal(jax.random.key(0), (2, 64, 96, 3))
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_full_resolution_logits(name, x):
+    model = build_model(name, num_classes=5, **TINY[name])
+    vs = model.init(jax.random.key(1), x, train=False)
+    y = model.apply(vs, x, train=False)
+    assert y.shape == (2, 64, 96, 5)
+    assert y.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_gradients_flow_to_all_params(name, x):
+    model = build_model(name, num_classes=2, **TINY[name])
+    vs = model.init(jax.random.key(2), x, train=False)
+    has_bn = "batch_stats" in vs
+
+    def loss(params):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = vs["batch_stats"]
+            out, _ = model.apply(variables, x, train=True,
+                                 mutable=["batch_stats"])
+        else:
+            out = model.apply(variables, x, train=True)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(vs["params"])
+    leaves = jax.tree.leaves(jax.tree.map(lambda t: float(jnp.abs(t).sum()), g))
+    zero = sum(1 for v in leaves if v == 0.0)
+    # every parameter tensor receives gradient (bias of a dead-relu conv can
+    # be zero by chance; allow a small number)
+    assert zero <= max(1, len(leaves) // 20), f"{zero}/{len(leaves)} zero-grad leaves"
+
+
+def test_fcn8s_kitti_padded_shape():
+    # the real contract: 1248x384 padded KITTI; run tiny-width to keep CPU time sane
+    model = FCN8s(num_classes=2, fc_features=16, width_mult=0.0625)
+    x = jnp.zeros((1, 384, 1248, 3))
+    vs = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(vs, x, train=False)
+    assert y.shape == (1, 384, 1248, 2)
+
+
+def test_segnet_is_index_driven():
+    """Moving the in-window max position must change SegNet's unpool output
+    (distinguishes true index unpooling from fixed/learned upsampling)."""
+    model = SegNet(num_classes=2, width_mult=0.125, use_bn=False)
+    x = jnp.zeros((1, 32, 32, 3))
+    vs = model.init(jax.random.key(0), x, train=False)
+    a = jnp.zeros((1, 32, 32, 3)).at[0, 0::2, 0::2, :].set(5.0)
+    b = jnp.zeros((1, 32, 32, 3)).at[0, 1::2, 1::2, :].set(5.0)
+    ya = model.apply(vs, a, train=False)
+    yb = model.apply(vs, b, train=False)
+    assert not np.allclose(np.asarray(ya), np.asarray(yb))
+
+
+def test_deeplab_output_stride_8_endpoints():
+    from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
+    m = VGG16(width_mult=0.125, fc_features=16, dilated_last_stages=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = m.init(jax.random.key(0), x, train=False)
+    ends = m.apply(vs, x, train=False)
+    assert ends["pool3"].shape[1:3] == (8, 8)     # /8
+    assert ends["pool5"].shape[1:3] == (8, 8)     # still /8 (dilated)
+    assert ends["conv7"].shape[1:3] == (8, 8)
+
+
+def test_vgg16_endpoint_strides():
+    from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
+    m = VGG16(width_mult=0.125, fc_features=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = m.init(jax.random.key(0), x, train=False)
+    ends = m.apply(vs, x, train=False)
+    for i in range(1, 6):
+        assert ends[f"pool{i}"].shape[1:3] == (64 // 2**i, 64 // 2**i)
+
+
+def test_conv_transpose_matches_tf_same_shape_semantics():
+    """TF conv2d_transpose(SAME, stride s) gives exactly H*s; golden-check
+    flax ConvTranspose used by FCN-8s/U-Net decoders."""
+    import flax.linen as nn
+    for stride, kernel in [(2, 4), (8, 16)]:
+        m = nn.ConvTranspose(3, (kernel, kernel), strides=(stride, stride),
+                             padding="SAME")
+        x = jnp.zeros((1, 6, 9, 4))
+        y = m.apply(m.init(jax.random.key(0), x), x)
+        assert y.shape == (1, 6 * stride, 9 * stride, 3)
+
+
+def test_weight_import_hook_roundtrip(tmp_path):
+    import flax
+    import numpy as onp
+    from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16, load_npz_weights
+    m = VGG16(width_mult=0.125, fc_features=16)
+    vs = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    flat = flax.traverse_util.flatten_dict(vs["params"], sep="/")
+    key = "stage1/conv0/kernel"
+    blob = {key: onp.ones_like(onp.asarray(flat[key]))}
+    path = tmp_path / "vgg.npz"
+    onp.savez(path, **blob)
+    new = load_npz_weights(vs["params"], str(path))
+    new_flat = flax.traverse_util.flatten_dict(new, sep="/")
+    np.testing.assert_array_equal(np.asarray(new_flat[key]), blob[key])
+    # untouched entries stay
+    other = "stage2/conv0/kernel"
+    np.testing.assert_array_equal(np.asarray(new_flat[other]),
+                                  np.asarray(flat[other]))

@@ -1,0 +1,166 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from semanticsegmentation_tensorflow_tpu.data import make_augment_fn, synthetic_batch
+from semanticsegmentation_tensorflow_tpu.models import build_model
+from semanticsegmentation_tensorflow_tpu.parallel import make_mesh, shard_batch, replicate
+from semanticsegmentation_tensorflow_tpu.train import (
+    create_train_state, make_train_step, make_eval_step,
+)
+from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+
+def _tiny_state(name="unet", num_classes=2, shape=(4, 32, 32, 3), lr=1e-3,
+                seed=0, opt="adam", **kw):
+    model = build_model(name, num_classes=num_classes,
+                        **(kw or dict(base_features=8)))
+    tx = make_optimizer(opt, lr)
+    return create_train_state(model, jax.random.key(seed), shape, tx)
+
+
+def _batch(n=4, h=32, w=32, seed=0):
+    b = synthetic_batch(n, h, w, seed=seed)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+class TestSingleDevice:
+    def test_step_runs_and_updates(self):
+        state = _tiny_state(base_features=8)
+        step = make_train_step(num_classes=2)
+        batch = _batch()
+        p0 = jax.tree.map(lambda x: x.copy(), state.params)
+        state, out = step(state, batch)
+        assert int(state.step) == 1
+        assert np.isfinite(float(out["loss"]))
+        assert out["cm"].shape == (2, 2)
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0,
+                             state.params)
+        assert max(jax.tree.leaves(diffs)) > 0
+
+    def test_overfit_tiny_batch(self):
+        """Convergence gate (SURVEY.md §4): loss -> small on a fixed batch."""
+        state = _tiny_state(base_features=8, lr=3e-3)
+        step = make_train_step(num_classes=2)
+        batch = _batch()
+        first = None
+        for _ in range(75):
+            state, out = step(state, batch)
+            if first is None:
+                first = float(out["loss"])
+        last = float(out["loss"])
+        assert last < first * 0.2, (first, last)
+        assert last < 0.25
+
+    def test_augment_fused_into_step(self):
+        aug = make_augment_fn((127.5, 127.5, 127.5), (58.0, 58.0, 58.0),
+                              crop_size=(16, 16))
+        state = _tiny_state(shape=(4, 16, 16, 3), base_features=8)
+        step = make_train_step(num_classes=2, augment_fn=aug)
+        b = synthetic_batch(4, 32, 32)
+        batch = {"image": jnp.asarray((b["image"] * 58.0 + 127.5).astype(np.uint8)),
+                 "label": jnp.asarray(b["label"]),
+                 "valid": jnp.asarray(b["valid"])}
+        state, out = step(state, batch)
+        assert np.isfinite(float(out["loss"]))
+
+    def test_bn_model_updates_batch_stats(self):
+        state = _tiny_state(name="segnet", shape=(2, 32, 32, 3),
+                            width_mult=0.125, use_bn=True)
+        assert jax.tree.leaves(state.batch_stats)
+        s0 = jax.tree.map(lambda x: x.copy(), state.batch_stats)
+        step = make_train_step(num_classes=2)
+        state, _ = step(state, _batch(2))
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s0,
+                             state.batch_stats)
+        assert max(jax.tree.leaves(diffs)) > 0
+
+
+class TestDistributed:
+    """Multi-chip data parallelism on 8 fake CPU devices (conftest)."""
+
+    def test_mesh_has_8_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_sharded_matches_single_device_grads(self):
+        """One sharded step == one single-device step on the global batch.
+
+        SGD so the param delta is linear in the gradient (Adam's first-step
+        m/sqrt(v) is a sign function — it amplifies reduction-order noise on
+        near-zero grads beyond any sensible tolerance).
+        """
+        mesh = make_mesh()
+        batch = _batch(8)
+
+        state_a = _tiny_state(base_features=8, seed=0, shape=(8, 32, 32, 3),
+                              opt="sgd", dtype=jnp.float32)
+        step_a = make_train_step(num_classes=2)
+        state_a, out_a = step_a(state_a, batch)
+
+        state_b = _tiny_state(base_features=8, seed=0, shape=(8, 32, 32, 3),
+                              opt="sgd", dtype=jnp.float32)
+        state_b = replicate(state_b, mesh)
+        step_b = make_train_step(num_classes=2, mesh=mesh)
+        state_b, out_b = step_b(state_b, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_a["cm"]),
+                                      np.asarray(out_b["cm"]))
+        a_leaves = jax.tree.leaves(state_a.params)
+        b_leaves = jax.tree.leaves(state_b.params)
+        for a, b in zip(a_leaves, b_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_sharded_eval_step(self):
+        mesh = make_mesh()
+        state = replicate(_tiny_state(base_features=8, shape=(8, 32, 32, 3)),
+                          mesh)
+        ev = make_eval_step(num_classes=2, mesh=mesh)
+        out = ev(state, shard_batch(_batch(8), mesh))
+        assert out["pred"].shape == (8, 32, 32)
+        assert int(out["cm"].sum()) == 8 * 32 * 32
+
+    def test_multi_step_convergence_sharded(self):
+        mesh = make_mesh()
+        state = replicate(_tiny_state(base_features=8, lr=3e-3,
+                                      shape=(8, 32, 32, 3)), mesh)
+        step = make_train_step(num_classes=2, mesh=mesh)
+        batch = shard_batch(_batch(8), mesh)
+        losses = []
+        for _ in range(30):
+            state, out = step(state, batch)
+            losses.append(float(out["loss"]))
+        assert losses[-1] < losses[0] * 0.5
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+        state = _tiny_state(base_features=8)
+        step = make_train_step(num_classes=2)
+        state, _ = step(state, _batch())
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(state, wait=True)
+        fresh = _tiny_state(base_features=8, seed=42)
+        restored = mgr.restore(fresh)
+        assert int(restored.step) == int(state.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
+    def test_restore_noop_when_empty(self, tmp_path):
+        from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        state = _tiny_state(base_features=8)
+        assert mgr.restore(state) is state
+        mgr.close()
