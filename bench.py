@@ -49,16 +49,21 @@ def main() -> None:
     cost = compiled.cost_analysis()
     flops = float((cost or {}).get("flops", 0.0))
 
-    # warmup (state is donated; rebuild via the compiled fn itself)
+    # warmup (state is donated; rebuild via the compiled fn itself).
+    # NOTE: sync by *fetching* the loss value — on the tunneled axon backend
+    # block_until_ready can return before device execution completes, which
+    # once produced a 300x-too-fast reading; a value fetch is a true
+    # device round-trip.
     state, out = step(state, hbm_batch)
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, out = step(state, hbm_batch)
-    jax.block_until_ready(out["loss"])
+    final_loss = float(out["loss"])  # hard sync
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     imgs_per_sec = batch * n_steps / dt
 

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Evaluate mIoU / pixel accuracy on a labeled split.
+
+The reference computes no metrics in-repo (KITTI road eval is offline;
+SURVEY.md §5), but mIoU parity is the BASELINE.json target, so the framework
+owns the metric end-to-end.
+
+    python scripts/eval.py --preset fcn8s_kitti --data-dir data_road
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fcn8s_kitti")
+    p.add_argument("--model", default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--batch-size", type=int, default=4)
+    args = p.parse_args(argv)
+
+    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.data import (
+        KittiRoadDataset, make_augment_fn,
+    )
+    from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import (
+        create_train_state, make_eval_step,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
+    from semanticsegmentation_tensorflow_tpu.train.metrics import SegMetrics
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    cfg = get_preset(args.preset)
+    dc = cfg.data
+    model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
+                        **cfg.model_kwargs)
+    stride = getattr(model, "total_stride", 32)
+    h = -(-dc.image_size[0] // stride) * stride
+    w = -(-dc.image_size[1] // stride) * stride
+
+    state = create_train_state(model, jax.random.key(0),
+                               (args.batch_size, h, w, 3),
+                               make_optimizer("adam", 1e-4))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore(state)
+    print(f"evaluating checkpoint step {int(state.step)}")
+
+    ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)
+    loader = BatchLoader(ds, args.batch_size, pad_multiple=stride,
+                         drop_remainder=False)
+    normalize = make_augment_fn(dc.mean, dc.std, crop_size=None,
+                                random_flip=False)
+    eval_step = make_eval_step(dc.num_classes)
+
+    metrics = SegMetrics.zero(dc.num_classes)
+    key = jax.random.key(0)
+    for batch in loader.epoch():
+        batch = normalize(key, batch)
+        out = eval_step(state, batch)
+        metrics = metrics.update(out["cm"], out["loss"])
+    s = {k: jax.device_get(v) for k, v in metrics.summary().items()}
+    print(f"loss={float(s['loss']):.4f} miou={float(s['miou']):.4f} "
+          f"pixel_acc={float(s['pixel_acc']):.4f} iou={s['iou'].tolist()}")
+    ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

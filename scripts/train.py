@@ -41,7 +41,8 @@ def main(argv=None):
 
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.data import (
-        KittiRoadDataset, generate_synthetic_kitti, make_augment_fn,
+        build_dataset, generate_synthetic_cityscapes, generate_synthetic_kitti,
+        make_augment_fn,
     )
     from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
     from semanticsegmentation_tensorflow_tpu.models import build_model
@@ -72,9 +73,16 @@ def main(argv=None):
 
     data_dir = args.data_dir or dc.data_dir
     if args.synthetic:
-        data_dir = generate_synthetic_kitti(
-            tempfile.mkdtemp(prefix="synth_kitti_"), n_train=max(8, tr.batch_size),
-            h=dc.image_size[0], w=dc.image_size[1])
+        if dc.dataset == "cityscapes":
+            data_dir = generate_synthetic_cityscapes(
+                tempfile.mkdtemp(prefix="synth_cs_"),
+                n_train=max(8, tr.batch_size),
+                h=dc.image_size[0], w=dc.image_size[1])
+        else:
+            data_dir = generate_synthetic_kitti(
+                tempfile.mkdtemp(prefix="synth_kitti_"),
+                n_train=max(8, tr.batch_size),
+                h=dc.image_size[0], w=dc.image_size[1])
 
     model = build_model(cfg.model, num_classes=dc.num_classes, **cfg.model_kwargs)
     stride = getattr(model, "total_stride", 32)
@@ -83,7 +91,7 @@ def main(argv=None):
     mesh = None if (args.no_mesh or n_dev == 1) else make_mesh()
     print(f"model={cfg.model} devices={n_dev} mesh={'1d-data' if mesh else 'none'}")
 
-    ds = KittiRoadDataset(data_dir, image_size=dc.image_size)
+    ds = build_dataset(dc.dataset, data_dir, dc.image_size)
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
                          seed=tr.seed, mesh=mesh)
 

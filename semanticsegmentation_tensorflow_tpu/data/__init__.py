@@ -25,3 +25,16 @@ from semanticsegmentation_tensorflow_tpu.data.augment import (  # noqa: F401
 from semanticsegmentation_tensorflow_tpu.data.pipeline import (  # noqa: F401
     BatchLoader,
 )
+from semanticsegmentation_tensorflow_tpu.data.cityscapes import (  # noqa: F401
+    CityscapesDataset,
+    generate_synthetic_cityscapes,
+)
+
+
+def build_dataset(dataset: str, data_dir: str, image_size: tuple[int, int]):
+    """Dataset factory keyed by DataConfig.dataset."""
+    if dataset in ("kitti_road", "synthetic"):
+        return KittiRoadDataset(data_dir, image_size=image_size)
+    if dataset == "cityscapes":
+        return CityscapesDataset(data_dir, image_size=image_size)
+    raise ValueError(f"unknown dataset {dataset!r}")
