@@ -33,7 +33,7 @@ def main() -> None:
     )
     from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
 
-    batch, h, w = 8, 384, 1248
+    batch, h, w = 16, 384, 1248  # batch 16 saturates the v5e (measured sweep)
     model = FCN8s(num_classes=2)
     tx = make_optimizer("adam", 1e-4)
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)

@@ -7,14 +7,22 @@
 
 from __future__ import annotations
 
-import argparse
+import os
 import sys
+
+# runnable as `python scripts/<name>.py` without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 
 import jax
 import numpy as np
 
 
 def main(argv=None):
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
@@ -29,7 +37,7 @@ def main(argv=None):
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.infer import Predictor
     from semanticsegmentation_tensorflow_tpu.models import build_model
-    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.state import create_abstract_state
     from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
     from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
 
@@ -42,12 +50,17 @@ def main(argv=None):
     w = -(-dc.image_size[1] // stride) * stride
 
     tx = make_optimizer("adam", 1e-4)
-    state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     ckpt = CheckpointManager(args.checkpoint_dir)
     if ckpt.latest_step() is None:
         print("warning: no checkpoint found; using random weights",
               file=sys.stderr)
-    state = ckpt.restore(state)
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            create_train_state,
+        )
+        state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
+    else:
+        # abstract template: restore without paying a throwaway init compile
+        state = ckpt.restore(create_abstract_state(model, (1, h, w, 3), tx))
     variables = {"params": state.params}
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats

@@ -7,12 +7,20 @@
 
 from __future__ import annotations
 
-import argparse
+import os
 import sys
+
+# runnable as `python scripts/<name>.py` without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 import time
 
 
 def main(argv=None):
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
@@ -29,7 +37,7 @@ def main(argv=None):
         Predictor, save_inference_samples,
     )
     from semanticsegmentation_tensorflow_tpu.models import build_model
-    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.state import create_abstract_state
     from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
     from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
 
@@ -41,8 +49,7 @@ def main(argv=None):
     h = -(-dc.image_size[0] // stride) * stride
     w = -(-dc.image_size[1] // stride) * stride
 
-    state = create_train_state(model, jax.random.key(0), (1, h, w, 3),
-                               make_optimizer("adam", 1e-4))
+    state = create_abstract_state(model, (1, h, w, 3), make_optimizer("adam", 1e-4))
     ckpt = CheckpointManager(args.checkpoint_dir)
     state = ckpt.restore(state)
     variables = {"params": state.params}

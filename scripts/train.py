@@ -10,9 +10,14 @@ SURVEY.md §1), one CLI drives all models via dataclass configs/presets.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable as `python scripts/<name>.py` without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
-import sys
 import tempfile
 
 import jax
@@ -37,6 +42,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+
     args = parse_args(argv)
 
     from semanticsegmentation_tensorflow_tpu.config import get_preset
@@ -84,14 +92,19 @@ def main(argv=None):
                 n_train=max(8, tr.batch_size),
                 h=dc.image_size[0], w=dc.image_size[1])
 
+    # validate data before any device work (TPU compiles take minutes; a bad
+    # --data-dir should fail in milliseconds)
+    ds = build_dataset(dc.dataset, data_dir, dc.image_size)
+    n_train = len(ds.train_images)
+
     model = build_model(cfg.model, num_classes=dc.num_classes, **cfg.model_kwargs)
     stride = getattr(model, "total_stride", 32)
 
     n_dev = len(jax.devices())
     mesh = None if (args.no_mesh or n_dev == 1) else make_mesh()
-    print(f"model={cfg.model} devices={n_dev} mesh={'1d-data' if mesh else 'none'}")
+    print(f"model={cfg.model} devices={n_dev} "
+          f"mesh={'1d-data' if mesh else 'none'} train_images={n_train}")
 
-    ds = build_dataset(dc.dataset, data_dir, dc.image_size)
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
                          seed=tr.seed, mesh=mesh)
 

@@ -40,6 +40,12 @@ class CheckpointManager:
         """Restore into the structure of ``state`` (must be pre-created)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
+            if any(isinstance(l, jax.ShapeDtypeStruct)
+                   for l in jax.tree.leaves(state)):
+                raise FileNotFoundError(
+                    f"no checkpoint found in {self._mgr.directory!r} and the "
+                    "restore template is abstract (shapes only) — train "
+                    "first or pass a real state")
             return state
         template = {"step": state.step, "params": state.params,
                     "opt_state": state.opt_state,

@@ -66,3 +66,20 @@ def create_train_state(
         apply_fn=model.apply,
         tx=tx,
     )
+
+
+def create_abstract_state(
+    model: nn.Module,
+    input_shape: tuple[int, int, int, int],
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    """Shape-only TrainState (jax.eval_shape — no device compile, no init).
+
+    Use as the restore template in inference/eval paths: building the real
+    init costs a full model compile (~85 s for FCN-8s on a tunneled v5e)
+    that is thrown away the moment the checkpoint overwrites it.
+    """
+    def _init():
+        return create_train_state(model, jax.random.key(0), input_shape, tx)
+
+    return jax.eval_shape(_init)

@@ -164,3 +164,44 @@ class TestCheckpoint:
         state = _tiny_state(base_features=8)
         assert mgr.restore(state) is state
         mgr.close()
+
+
+class TestAbstractState:
+    def test_abstract_restore_roundtrip(self, tmp_path):
+        from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            create_abstract_state,
+        )
+        from semanticsegmentation_tensorflow_tpu.models import build_model
+
+        state = _tiny_state(base_features=8)
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(state, wait=True)
+
+        model = build_model("unet", num_classes=2, base_features=8)
+        tmpl = create_abstract_state(model, (4, 32, 32, 3),
+                                     make_optimizer("adam", 1e-3))
+        restored = mgr.restore(tmpl)
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        mgr.close()
+
+    def test_abstract_restore_without_checkpoint_raises(self, tmp_path):
+        from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            create_abstract_state,
+        )
+        from semanticsegmentation_tensorflow_tpu.models import build_model
+
+        model = build_model("unet", num_classes=2, base_features=8)
+        tmpl = create_abstract_state(model, (1, 32, 32, 3),
+                                     make_optimizer("adam", 1e-3))
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        with pytest.raises(FileNotFoundError):
+            mgr.restore(tmpl)
+        mgr.close()
