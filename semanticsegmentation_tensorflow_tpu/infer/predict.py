@@ -34,18 +34,28 @@ class Predictor:
                  mean: Sequence[float] = (123.68, 116.779, 103.939),
                  std: Sequence[float] = (58.393, 57.12, 57.375),
                  overlay_palette: np.ndarray = KITTI_OVERLAY_PALETTE,
-                 alpha: float = 0.5):
+                 alpha: float = 0.5,
+                 use_pallas: bool | None = None):
         self.image_size = image_size
         stride = getattr(model, "total_stride", 32)
         palette = jnp.asarray(overlay_palette)
         mean = tuple(mean); std = tuple(std)
+        if use_pallas is None:  # auto: the kernel targets TPU
+            use_pallas = jax.devices()[0].platform == "tpu"
+        if use_pallas:
+            from semanticsegmentation_tensorflow_tpu.ops.pallas.overlay import (
+                argmax_colormap_overlay_pallas,
+            )
+            overlay_fn = argmax_colormap_overlay_pallas
+        else:
+            overlay_fn = argmax_colormap_overlay
 
         def fwd(image_u8: jax.Array) -> tuple[jax.Array, jax.Array]:
             x = normalize_images(image_u8, mean, std)
             x = pad_to_multiple(x, stride)
             logits = model.apply(variables, x, train=False)
             logits = crop_to(logits, *image_size)
-            return argmax_colormap_overlay(image_u8, logits, palette, alpha)
+            return overlay_fn(image_u8, logits, palette, alpha)
 
         self._fwd = jax.jit(fwd)
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE
 from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
+from semanticsegmentation_tensorflow_tpu.ops.fast_upsample import FastConvTranspose
 
 _SCORE_INIT = nn.initializers.normal(stddev=0.01)
 
@@ -31,6 +32,10 @@ class FCN8s(nn.Module):
     use_bn: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
+    # pixel-shuffle decomposition of the transposed convs (bit-identical
+    # function + params, ~10x faster on TPU for 2-channel score maps; see
+    # ops/fast_upsample.py). Checkpoints are interchangeable either way.
+    fast_upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -42,6 +47,10 @@ class FCN8s(nn.Module):
                            kernel_init=_SCORE_INIT, name=name)(t)
 
         def up(t, factor, name):
+            if self.fast_upsample:
+                return FastConvTranspose(
+                    self.num_classes, factor, dtype=self.dtype,
+                    kernel_init=_SCORE_INIT, name=name)(t)
             return nn.ConvTranspose(
                 self.num_classes, (factor * 2, factor * 2),
                 strides=(factor, factor), padding="SAME",

@@ -1,0 +1,84 @@
+"""MXU-friendly transposed convolution (pixel-shuffle decomposition).
+
+XLA lowers `lax.conv_transpose` with few channels (FCN's num_classes=2
+score maps) as a fractionally-strided conv that runs at ~2/128 lane
+utilization — measured ~80 ms standalone for FCN-8s's 8x upsample on a v5e,
+as much as the entire VGG16 backbone. This module computes the *exact* same
+function as `flax.linen.ConvTranspose(features, (2s, 2s), strides=(s, s),
+padding="SAME")` (same parameter shapes/names, checkpoint-compatible) via:
+
+    3x3 conv  ->  s*s*C_out channels  ->  depth-to-space
+
+Derivation: with the flipped kernel Wf and JAX's SAME placement
+(pad_lo = s//2, verified by impulse probes), output phase r of tile oy reads
+exactly two input rows; zero-padding Wf by s on both spatial sides (Wfp) the
+3-tap weights per phase collapse to
+
+    K3[t, r] = Wfp[(2 - t) * s + r + s//2]      (t in {0,1,2}; same per axis)
+
+so the whole upsample becomes one dense 3x3 convolution with C_in inputs and
+s*s*C_out outputs — full lanes on the MXU — followed by a pure-layout
+reshape. Equality with ConvTranspose is asserted bit-for-bit in
+tests/test_fast_upsample.py.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _shuffle_kernel(W: jax.Array, s: int) -> jax.Array:
+    """[2s, 2s, Cin, Cout] ConvTranspose kernel -> [3, 3, Cin, s*s*Cout]."""
+    kh, kw, cin, cout = W.shape
+    assert kh == 2 * s and kw == 2 * s, (W.shape, s)
+    Wf = W[::-1, ::-1]                                   # convolution flip
+    Wfp = jnp.pad(Wf, ((s, s), (s, s), (0, 0), (0, 0)))  # zero halo
+    half = s // 2
+    idx = jnp.asarray([(2 - t) * s + r + half
+                       for t in range(3) for r in range(s)])
+    K3 = Wfp[idx][:, idx]                                # [3s, 3s, cin, cout]
+    K3 = K3.reshape(3, s, 3, s, cin, cout)
+    K3 = K3.transpose(0, 2, 4, 1, 3, 5)                  # [3,3,cin,s,s,cout]
+    return K3.reshape(3, 3, cin, s * s * cout)
+
+
+def _depth_to_space(y: jax.Array, s: int, cout: int) -> jax.Array:
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, s, s, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)                    # n, h, sy, w, sx, c
+    return y.reshape(n, h * s, w * s, cout)
+
+
+class FastConvTranspose(nn.Module):
+    """Drop-in for nn.ConvTranspose(features, (2s,2s), strides=(s,s), SAME).
+
+    Parameter names and shapes match flax's ConvTranspose, so checkpoints
+    swap freely between the two implementations.
+    """
+
+    features: int
+    stride: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = self.stride
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (2 * s, 2 * s, cin, self.features))
+        K3 = _shuffle_kernel(kernel.astype(self.dtype), s)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), K3, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+        y = _depth_to_space(y, s, self.features)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y

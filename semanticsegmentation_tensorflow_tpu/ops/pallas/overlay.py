@@ -6,9 +6,13 @@ argmax across the class planes, palette lookup, alpha blend with the input
 image — all on the VPU, one HBM read per input, one write per output.
 
 Layout: the kernel works on channel-*planes* ([C|3, H_tile, W]) rather than
-NHWC, so the lane dimension is W (1248 for KITTI) instead of C (=2/3, which
+NHWC, so the lane dimension is W (1242 for KITTI) instead of C (=2/3, which
 would waste 125/128 lanes). Argmax over classes and the palette lookup are
 static Python loops over tiny C — fully unrolled vector code, no gathers.
+
+Dtype note: Mosaic has no uint8<->f32 casts, so pixel planes cross the
+kernel boundary as int32 (the uint8<->int32 casts outside fuse into the
+layout transposes XLA already performs).
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def _overlay_kernel(logits_ref, image_ref, palette_ref, out_ref, *,
         blended = img * (1.0 - alpha) + color * alpha
         if keep is not None:
             blended = jnp.where(keep, img, blended)
-        out_ref[0, ch] = jnp.clip(blended, 0.0, 255.0).astype(jnp.uint8)
+        out_ref[0, ch] = jnp.clip(blended, 0.0, 255.0).astype(jnp.int32)
 
 
 def argmax_colormap_overlay_pallas(
@@ -62,19 +66,23 @@ def argmax_colormap_overlay_pallas(
     image_u8 [N,H,W,3], logits [N,H,W,C] -> overlay [N,H,W,3] uint8.
     """
     n, h, w, c = logits.shape
+    # TPU block constraint: second-to-last block dim must be a multiple of 8
+    # (ragged final blocks are fine) or span the full dimension
     row_tile = min(row_tile, h)
+    if row_tile % 8 != 0 and row_tile != h:
+        row_tile = max(8, (row_tile // 8) * 8) if h >= 8 else h
     grid_h = pl.cdiv(h, row_tile)
 
-    # channel-plane layout: [N, C, H, W]
+    # channel-plane layout: [N, C, H, W]; pixels as int32 (see dtype note)
     lt = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
-    it = jnp.transpose(image_u8, (0, 3, 1, 2))
+    it = jnp.transpose(image_u8.astype(jnp.int32), (0, 3, 1, 2))
     pal = palette.astype(jnp.float32)
 
     kernel = partial(_overlay_kernel, num_classes=c, alpha=float(alpha),
                      blend_class0=blend_class0)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, 3, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, 3, h, w), jnp.int32),
         grid=(n, grid_h),
         in_specs=[
             pl.BlockSpec((1, c, row_tile, w), lambda i, j: (i, 0, j, 0),
@@ -86,8 +94,8 @@ def argmax_colormap_overlay_pallas(
         out_specs=pl.BlockSpec((1, 3, row_tile, w), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lt[:, :, :, :], it, pal)
+    )(lt, it, pal)
 
-    overlay = jnp.transpose(out, (0, 2, 3, 1))
+    overlay = jnp.transpose(out, (0, 2, 3, 1)).astype(jnp.uint8)
     labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return overlay, labels
