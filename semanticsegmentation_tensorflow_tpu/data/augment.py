@@ -29,6 +29,27 @@ def normalize_images(images: jax.Array, mean: Sequence[float],
     return (images.astype(jnp.float32) - mean) / std
 
 
+def sample_augment_params(rng: jax.Array, n: int, h: int, w: int,
+                          crop_hw: tuple[int, int] | None):
+    """Per-example (flip [N] bool, oy [N] i32, ox [N] i32).
+
+    The single source of augmentation randomness — the jnp and Pallas
+    preprocess paths both consume these, so they are bit-identical.
+    """
+    keys = jax.random.split(rng, n)
+    k_flip = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
+    k_y = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
+    k_x = jax.vmap(lambda k: jax.random.split(k, 3)[2])(keys)
+    flip = jax.vmap(jax.random.bernoulli)(k_flip)
+    if crop_hw is None:
+        zeros = jnp.zeros((n,), jnp.int32)
+        return flip, zeros, zeros
+    ch, cw = crop_hw
+    oy = jax.vmap(lambda k: jax.random.randint(k, (), 0, h - ch + 1))(k_y)
+    ox = jax.vmap(lambda k: jax.random.randint(k, (), 0, w - cw + 1))(k_x)
+    return flip, oy, ox
+
+
 def _augment_one(rng: jax.Array, img: jax.Array, lbl: jax.Array,
                  val: jax.Array, *, crop_hw: tuple[int, int] | None,
                  random_flip: bool):

@@ -49,3 +49,56 @@ def test_overlay_kernel_unaligned_height():
     out, _ = argmax_colormap_overlay_pallas(img, logits, palette, 0.5,
                                             row_tile=32, interpret=True)
     assert np.abs(np.asarray(out).astype(int) - np.asarray(ref).astype(int)).max() <= 1
+
+
+class TestPallasPreprocess:
+    def _batch(self, n=4, h=48, w=64):
+        rng = np.random.default_rng(7)
+        return {
+            "image": jnp.asarray(rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)),
+            "label": jnp.asarray(rng.integers(0, 2, (n, h, w)).astype(np.int32)),
+            "valid": jnp.asarray(np.ones((n, h, w), bool)),
+        }
+
+    def test_matches_jnp_augment_bitwise(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import make_augment_fn
+        from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
+            make_pallas_augment_fn,
+        )
+        mean, std = (120.0, 115.0, 100.0), (60.0, 55.0, 50.0)
+        crop = (32, 48)
+        key = jax.random.key(42)
+        batch = self._batch()
+        ref = make_augment_fn(mean, std, crop_size=crop)(key, batch)
+        out = make_pallas_augment_fn(mean, std, crop_size=crop,
+                                     interpret=True)(key, batch)
+        np.testing.assert_array_equal(np.asarray(out["label"]),
+                                      np.asarray(ref["label"]))
+        np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                      np.asarray(ref["valid"]))
+        np.testing.assert_allclose(np.asarray(out["image"]),
+                                   np.asarray(ref["image"]), rtol=1e-6)
+
+    def test_normalize_kernel_direct(self):
+        from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
+            pallas_normalize,
+        )
+        img = self._batch()["image"]
+        out = pallas_normalize(img, (10.0, 20.0, 30.0), (2.0, 4.0, 5.0),
+                               interpret=True)
+        assert out.shape == img.shape and out.dtype == jnp.float32
+        ref = (np.asarray(img).astype(np.float32)
+               - np.asarray([10.0, 20.0, 30.0])) / np.asarray([2.0, 4.0, 5.0])
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)
+
+    def test_pallas_augment_rejects_float_images(self):
+        from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
+            make_pallas_augment_fn,
+        )
+        b = self._batch()
+        b["image"] = b["image"].astype(jnp.float32)
+        aug = make_pallas_augment_fn((0, 0, 0), (1, 1, 1), crop_size=(16, 16),
+                                     interpret=True)
+        import pytest
+        with pytest.raises(TypeError):
+            aug(jax.random.key(0), b)
