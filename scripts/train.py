@@ -126,13 +126,28 @@ def main(argv=None):
     if mesh is not None:
         state = replicate(state, mesh)
 
+    from semanticsegmentation_tensorflow_tpu.train.loop import LoopHooks
+    from semanticsegmentation_tensorflow_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(os.path.join(tr.checkpoint_dir, "logs"))
+    hooks = LoopHooks(
+        on_log=lambda step, m: (
+            logger.log(step, m),
+            print(f"step {step}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in m.items())))[-1],
+        on_epoch=lambda epoch, s: logger.log(
+            epoch, {k: v for k, v in s.items()
+                    if not hasattr(v, "ndim") or getattr(v, "ndim", 1) == 0}),
+    )
+
     step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug)
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,
-        checkpoint_every=tr.checkpoint_every, ckpt=ckpt)
+        checkpoint_every=tr.checkpoint_every, ckpt=ckpt, hooks=hooks)
     print("final:", {k: (v.tolist() if hasattr(v, "tolist") else v)
                      for k, v in summary.items()})
+    logger.close()
     ckpt.close()
     return 0
 

@@ -83,6 +83,11 @@ def load_npz_weights(params: dict, npz_path: str) -> dict:
     flat = flax.traverse_util.flatten_dict(params, sep="/")
     loaded = dict(flat)
     for key, val in flat.items():
-        if key in blob.files and blob[key].shape == val.shape:
-            loaded[key] = jnp.asarray(blob[key], dtype=val.dtype)
+        # archives may be keyed relative to the parent model ("vgg16/...")
+        # or to the backbone itself
+        for candidate in (key, f"vgg16/{key}",
+                          key.removeprefix("vgg16/")):
+            if candidate in blob.files and blob[candidate].shape == val.shape:
+                loaded[key] = jnp.asarray(blob[candidate], dtype=val.dtype)
+                break
     return flax.traverse_util.unflatten_dict(loaded, sep="/")
