@@ -31,7 +31,14 @@ class BatchLoader:
 
     def __init__(self, dataset: KittiRoadDataset, batch_size: int,
                  pad_multiple: int = 32, seed: int = 0, mesh=None,
-                 drop_remainder: bool = True, cache: bool = True):
+                 drop_remainder: bool = True, cache: bool = True,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
+        """``batch_size`` is the GLOBAL batch. On a multi-host pod each host
+        loads only its 1/process_count slice of every batch (same shuffled
+        order everywhere — the seed is shared — so slices are disjoint and
+        exhaustive); pass process_index/process_count explicitly in tests.
+        """
         self.ds = dataset
         self.batch_size = batch_size
         self.pad_multiple = pad_multiple
@@ -39,6 +46,14 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
         self._cache: dict[str, tuple] | None = {} if cache else None
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process_count {self.process_count}")
 
     # -- host-side example assembly -------------------------------------
     def _get(self, path: str):
@@ -71,13 +86,15 @@ class BatchLoader:
         paths = list(self.ds.train_images)
         self._rng.shuffle(paths)
         bs = self.batch_size
+        local = bs // self.process_count
+        lo = self.process_index * local
         for i in range(0, len(paths), bs):
             chunk = paths[i:i + bs]
             if len(chunk) < bs:
                 if self.drop_remainder:
                     break
                 chunk = chunk + paths[: bs - len(chunk)]  # wrap-pad
-            yield self._stack(chunk)
+            yield self._stack(chunk[lo:lo + local])  # this host's slice
 
     # -- device staging with one-batch-ahead prefetch --------------------
     def epoch(self) -> Iterator[dict]:

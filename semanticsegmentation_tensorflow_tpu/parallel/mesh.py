@@ -25,9 +25,16 @@ def make_mesh(devices: list | None = None) -> Mesh:
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch on device, sharded along the leading (batch) dim.
 
-    Per-leaf leading dims must be divisible by the mesh size.
+    Single-process: ``batch`` is the global batch (leading dim divisible by
+    the mesh size). Multi-process (pods): ``batch`` is this host's local
+    slice (see BatchLoader's process sharding) and the global array is
+    assembled across hosts.
     """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

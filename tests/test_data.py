@@ -119,3 +119,31 @@ def test_synthetic_batch_contract():
     assert b["image"].dtype == np.float32
     assert b["label"].dtype == np.int32
     assert b["valid"].all()
+
+
+def test_batch_loader_process_sharding(tmp_path):
+    """Multi-host slicing: disjoint, exhaustive, same order on every host."""
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=8, n_test=0,
+                                 h=32, w=32)
+    ds = KittiRoadDataset(d, image_size=(32, 32))
+    shards = []
+    for pi in range(4):
+        loader = BatchLoader(ds, batch_size=8, pad_multiple=16, seed=3,
+                             process_index=pi, process_count=4)
+        (batch,) = list(loader._host_epoch())
+        assert batch["image"].shape[0] == 2  # 8 global / 4 hosts
+        shards.append(batch["image"])
+    # together the slices reconstruct the full global batch w/o duplicates
+    full = BatchLoader(ds, batch_size=8, pad_multiple=16, seed=3,
+                       process_index=0, process_count=1)
+    (gbatch,) = list(full._host_epoch())
+    np.testing.assert_array_equal(np.concatenate(shards), gbatch["image"])
+
+
+def test_batch_loader_rejects_bad_process_split(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "dr2"), n_train=2, n_test=0,
+                                 h=16, w=16)
+    ds = KittiRoadDataset(d, image_size=(16, 16))
+    import pytest
+    with pytest.raises(ValueError):
+        BatchLoader(ds, batch_size=3, process_index=0, process_count=2)

@@ -1,0 +1,67 @@
+"""Integration: BatchLoader -> train() loop -> checkpoint, on CPU."""
+
+import jax
+import numpy as np
+
+from semanticsegmentation_tensorflow_tpu.data import (
+    KittiRoadDataset, generate_synthetic_kitti, make_augment_fn,
+)
+from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
+from semanticsegmentation_tensorflow_tpu.models import build_model
+from semanticsegmentation_tensorflow_tpu.train import (
+    create_train_state, make_train_step,
+)
+from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
+from semanticsegmentation_tensorflow_tpu.train.loop import LoopHooks, train
+from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+
+def test_train_loop_end_to_end(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=4, n_test=0,
+                                 h=64, w=96)
+    ds = KittiRoadDataset(d, image_size=(64, 96))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=16)
+
+    model = build_model("unet", num_classes=2, base_features=8)
+    state = create_train_state(model, jax.random.key(0), (2, 64, 96, 3),
+                               make_optimizer("adam", 1e-3))
+    aug = make_augment_fn((127.0,) * 3, (60.0,) * 3, crop_size=None)
+    step = make_train_step(num_classes=2, augment_fn=aug)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+
+    logged = []
+    hooks = LoopHooks(on_log=lambda s, m: logged.append(s),
+                      on_epoch=lambda e, s: None)
+    state, summary = train(state, step, loader.epoch, epochs=3,
+                           num_classes=2, log_every=1, checkpoint_every=2,
+                           ckpt=ckpt, hooks=hooks)
+    assert int(jax.device_get(state.step)) == 6  # 3 epochs x 2 steps
+    assert logged == [1, 2, 3, 4, 5, 6]
+    assert np.isfinite(summary["loss"])
+    assert 0.0 <= float(summary["miou"]) <= 1.0
+    assert summary["images_per_sec"] > 0
+    assert ckpt.latest_step() == 6
+    ckpt.close()
+
+
+def test_loop_resume_from_checkpoint(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=2, n_test=0,
+                                 h=32, w=32)
+    ds = KittiRoadDataset(d, image_size=(32, 32))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=16)
+    model = build_model("unet", num_classes=2, base_features=8)
+    tx = make_optimizer("adam", 1e-3)
+    state = create_train_state(model, jax.random.key(0), (2, 32, 32, 3), tx)
+    step = make_train_step(num_classes=2)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    state, _ = train(state, step, loader.epoch, epochs=2, num_classes=2,
+                     log_every=0, ckpt=ckpt)
+    # fresh process: restore and continue
+    fresh = create_train_state(model, jax.random.key(9), (2, 32, 32, 3), tx)
+    fresh = ckpt.restore(fresh)
+    assert int(jax.device_get(fresh.step)) == 2
+    fresh, _ = train(fresh, step, loader.epoch, epochs=1, num_classes=2,
+                     log_every=0, ckpt=ckpt)
+    assert int(jax.device_get(fresh.step)) == 3
+    assert ckpt.latest_step() == 3
+    ckpt.close()
