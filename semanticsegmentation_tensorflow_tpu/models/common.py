@@ -8,7 +8,7 @@ to f32 before the loss/softmax for numerical safety.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -67,6 +67,7 @@ class DeepLabASPP(nn.Module):
     rates: Sequence[int] = (6, 12, 18)
     width_mult: float = 1.0
     use_bn: bool = True
+    dropout_rate: float = 0.5
     dtype: jnp.dtype = DEFAULT_DTYPE
     output_stride: int = 8
 
@@ -78,6 +79,7 @@ class DeepLabASPP(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         ends = VGG16(width_mult=self.width_mult, use_bn=self.use_bn,
                      dilated_last_stages=True, fc_features=512,
+                     dropout_rate=self.dropout_rate,
                      dtype=self.dtype, name="vgg16")(x, train=train)
         x = ASPP(features=self.aspp_features, rates=self.rates,
                  use_bn=self.use_bn, dtype=self.dtype, name="aspp")(

@@ -30,6 +30,7 @@ class FCN8s(nn.Module):
     fc_features: int = 1024
     width_mult: float = 1.0
     use_bn: bool = False
+    dropout_rate: float = 0.5   # the reference's KEEP_PROB on fc6/fc7
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
     # pixel-shuffle decomposition of the transposed convs (bit-identical
@@ -40,7 +41,8 @@ class FCN8s(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         ends = VGG16(fc_features=self.fc_features, width_mult=self.width_mult,
-                     use_bn=self.use_bn, dtype=self.dtype, name="vgg16")(x, train=train)
+                     use_bn=self.use_bn, dropout_rate=self.dropout_rate,
+                     dtype=self.dtype, name="vgg16")(x, train=train)
 
         def score(t, name):
             return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,

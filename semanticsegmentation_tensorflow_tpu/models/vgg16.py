@@ -14,7 +14,7 @@ width configurable (the classic 4096 is 90% of FCN-8s FLOPs for ~0 mIoU on a
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import flax.linen as nn
 import jax
@@ -40,6 +40,9 @@ class VGG16(nn.Module):
     width_mult: float = 1.0
     use_bn: bool = False
     dilated_last_stages: bool = False
+    # dropout on fc6/fc7, the reference's KEEP_PROB (SURVEY.md §3.1 lists it
+    # among the script constants; FCN lineage uses keep_prob=0.5). 0 disables.
+    dropout_rate: float = 0.5
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @nn.compact
@@ -66,8 +69,14 @@ class VGG16(nn.Module):
                     kernel_dilation=(dilation, dilation),
                     dtype=self.dtype, name="conv6")(x)
         x = nn.relu(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train,
+                           name="drop6")(x)
         x = nn.Conv(self.fc_features, (1, 1), dtype=self.dtype, name="conv7")(x)
         x = nn.relu(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train,
+                           name="drop7")(x)
         ends["conv7"] = x
         return ends
 

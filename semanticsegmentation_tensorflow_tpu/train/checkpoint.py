@@ -9,7 +9,7 @@ did not wire up (SURVEY.md §5).
 from __future__ import annotations
 
 import os
-from typing import Any
+
 
 import jax
 import orbax.checkpoint as ocp

@@ -13,7 +13,7 @@ from typing import Callable, Iterable
 
 import jax
 
-from semanticsegmentation_tensorflow_tpu.config import ExperimentConfig
+
 from semanticsegmentation_tensorflow_tpu.train.metrics import SegMetrics
 from semanticsegmentation_tensorflow_tpu.train.state import TrainState
 

@@ -33,17 +33,20 @@ AugmentFn = Callable[[jax.Array, dict], dict]  # (rng, batch) -> batch
 
 
 def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
-                  train: bool):
+                  train: bool, dropout_rng: jax.Array | None = None):
     has_bn = bool(jax.tree.leaves(state.batch_stats))
     variables = {"params": params}
     if has_bn:
         variables["batch_stats"] = state.batch_stats
+    rngs = ({"dropout": dropout_rng}
+            if (train and dropout_rng is not None) else None)
     if train and has_bn:
         logits, mutated = state.apply_fn(variables, batch["image"], train=True,
-                                         mutable=["batch_stats"])
+                                         mutable=["batch_stats"], rngs=rngs)
         new_stats = mutated["batch_stats"]
     else:
-        logits = state.apply_fn(variables, batch["image"], train=train)
+        logits = state.apply_fn(variables, batch["image"], train=train,
+                                rngs=rngs)
         new_stats = state.batch_stats
     onehot = jax.nn.one_hot(batch["label"], num_classes, dtype=logits.dtype)
     loss = softmax_cross_entropy_loss(logits, onehot, batch.get("valid"))
@@ -54,13 +57,15 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
                      augment_fn: AugmentFn | None, axis: str | None):
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis is not None:
-        # decorrelate augmentation across shards
+        # decorrelate augmentation/dropout across shards
         step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis))
+    aug_rng, dropout_rng = jax.random.split(step_rng)
     if augment_fn is not None:
-        batch = augment_fn(step_rng, batch)
+        batch = augment_fn(aug_rng, batch)
 
     grad_fn = jax.value_and_grad(
-        lambda p: _forward_loss(state, p, batch, num_classes, train=True),
+        lambda p: _forward_loss(state, p, batch, num_classes, train=True,
+                                dropout_rng=dropout_rng),
         has_aux=True)
     (loss, (logits, new_stats)), grads = grad_fn(state.params)
 

@@ -127,3 +127,18 @@ def test_weight_import_hook_roundtrip(tmp_path):
     other = "stage2/conv0/kernel"
     np.testing.assert_array_equal(np.asarray(new_flat[other]),
                                   np.asarray(flat[other]))
+
+
+def test_fcn8s_dropout_active_in_train_only():
+    """fc6/fc7 dropout (reference KEEP_PROB): stochastic in train mode,
+    identity in eval mode."""
+    model = FCN8s(num_classes=2, fc_features=32, width_mult=0.125,
+                  dropout_rate=0.5)
+    x = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
+    vs = model.init(jax.random.key(1), x, train=False)
+    e1 = model.apply(vs, x, train=False)
+    e2 = model.apply(vs, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1 = model.apply(vs, x, train=True, rngs={"dropout": jax.random.key(2)})
+    t2 = model.apply(vs, x, train=True, rngs={"dropout": jax.random.key(3)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
