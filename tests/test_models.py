@@ -38,12 +38,13 @@ def test_gradients_flow_to_all_params(name, x):
 
     def loss(params):
         variables = {"params": params}
+        rngs = {"dropout": jax.random.key(7)}
         if has_bn:
             variables["batch_stats"] = vs["batch_stats"]
             out, _ = model.apply(variables, x, train=True,
-                                 mutable=["batch_stats"])
+                                 mutable=["batch_stats"], rngs=rngs)
         else:
-            out = model.apply(variables, x, train=True)
+            out = model.apply(variables, x, train=True, rngs=rngs)
         return jnp.mean(out ** 2)
 
     g = jax.grad(loss)(vs["params"])
@@ -132,8 +133,9 @@ def test_weight_import_hook_roundtrip(tmp_path):
 def test_fcn8s_dropout_active_in_train_only():
     """fc6/fc7 dropout (reference KEEP_PROB): stochastic in train mode,
     identity in eval mode."""
+    # f32: in bf16 the fc-path perturbation can round away in a tiny model
     model = FCN8s(num_classes=2, fc_features=32, width_mult=0.125,
-                  dropout_rate=0.5)
+                  dropout_rate=0.5, dtype=jnp.float32)
     x = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
     vs = model.init(jax.random.key(1), x, train=False)
     e1 = model.apply(vs, x, train=False)
@@ -141,4 +143,6 @@ def test_fcn8s_dropout_active_in_train_only():
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
     t1 = model.apply(vs, x, train=True, rngs={"dropout": jax.random.key(2)})
     t2 = model.apply(vs, x, train=True, rngs={"dropout": jax.random.key(3)})
-    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    # at init the fc path is attenuated by four 0.01-std layers, so the
+    # logit perturbation is tiny — strict difference is the right check
+    assert float(jnp.abs(t1 - t2).max()) > 0.0
