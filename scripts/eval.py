@@ -35,7 +35,7 @@ def main(argv=None):
 
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.data import (
-        KittiRoadDataset, make_augment_fn,
+        build_dataset, make_augment_fn,
     )
     from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
     from semanticsegmentation_tensorflow_tpu.models import build_model
@@ -59,7 +59,7 @@ def main(argv=None):
     state = ckpt.restore(state)
     print(f"evaluating checkpoint step {int(state.step)}")
 
-    ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)
+    ds = build_dataset(dc.dataset, args.data_dir or dc.data_dir, dc.image_size)
     loader = BatchLoader(ds, args.batch_size, pad_multiple=stride,
                          drop_remainder=False)
     normalize = make_augment_fn(dc.mean, dc.std, crop_size=None,

@@ -103,3 +103,21 @@ class TestOverlay:
         assert overlay.shape == (2, 8, 8, 3) and overlay.dtype == jnp.uint8
         np.testing.assert_array_equal(
             np.asarray(labels), np.argmax(np.asarray(logits), -1))
+
+
+def test_max_pool_hybrid_backward_matches_reduce_window_vjp():
+    """The dense custom backward must equal XLA's select_and_scatter VJP."""
+    from semanticsegmentation_tensorflow_tpu.ops.pool import _reduce_window_max
+    x = jax.random.normal(jax.random.key(5), (2, 8, 12, 3))
+
+    g1 = jax.grad(lambda t: jnp.sum(max_pool(t, 2) ** 2))(x)
+    g2 = jax.grad(lambda t: jnp.sum(_reduce_window_max(t, 2, 2, "SAME") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_max_pool_hybrid_backward_tie_semantics():
+    # constant window: select_and_scatter routes grad to the FIRST element;
+    # the dense backward must match
+    x = jnp.ones((1, 2, 2, 1))
+    g = jax.grad(lambda t: jnp.sum(max_pool(t, 2)))(x)
+    np.testing.assert_array_equal(np.asarray(g[0, :, :, 0]), [[1, 0], [0, 0]])
