@@ -43,8 +43,9 @@ def main() -> None:
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
     # the real production step: uint8 HBM-resident batch, normalize+flip
     # fused into the compiled step (BASELINE.json north star)
-    aug = make_augment_fn((123.68, 116.779, 103.939),
-                          (58.393, 57.12, 57.375), crop_size=None)
+    from semanticsegmentation_tensorflow_tpu.config import DataConfig
+    dc = DataConfig()
+    aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=2, augment_fn=aug)
 
     rng = np.random.default_rng(0)

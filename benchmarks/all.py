@@ -44,8 +44,9 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
     model = build_model(model_name, num_classes=2, **kwargs)
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3),
                                make_optimizer("adam", 1e-4))
-    aug = make_augment_fn((123.68, 116.779, 103.939),
-                          (58.393, 57.12, 57.375), crop_size=None)
+    from semanticsegmentation_tensorflow_tpu.config import DataConfig
+    dc = DataConfig()
+    aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=2, augment_fn=aug)
     rng = np.random.default_rng(0)
     b = {"image": jnp.asarray(rng.integers(0, 256, (batch, h, w, 3)).astype(np.uint8)),

@@ -135,9 +135,13 @@ def main(argv=None):
             logger.log(step, m),
             print(f"step {step}: " + " ".join(
                 f"{k}={float(v):.4f}" for k, v in m.items())))[-1],
+        # epoch summaries keyed by GLOBAL step under epoch/-prefixed tags so
+        # they never collide with the per-step series
         on_epoch=lambda epoch, s: logger.log(
-            epoch, {k: v for k, v in s.items()
-                    if not hasattr(v, "ndim") or getattr(v, "ndim", 1) == 0}),
+            s.get("step", epoch),
+            {f"epoch/{k}": v for k, v in s.items()
+             if (not hasattr(v, "ndim") or getattr(v, "ndim", 1) == 0)
+             and k != "step"}),
     )
 
     step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug)

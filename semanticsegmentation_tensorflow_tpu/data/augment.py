@@ -37,9 +37,8 @@ def sample_augment_params(rng: jax.Array, n: int, h: int, w: int,
     preprocess paths both consume these, so they are bit-identical.
     """
     keys = jax.random.split(rng, n)
-    k_flip = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
-    k_y = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
-    k_x = jax.vmap(lambda k: jax.random.split(k, 3)[2])(keys)
+    ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [n, 3]
+    k_flip, k_y, k_x = ks[:, 0], ks[:, 1], ks[:, 2]
     flip = jax.vmap(jax.random.bernoulli)(k_flip)
     if crop_hw is None:
         zeros = jnp.zeros((n,), jnp.int32)

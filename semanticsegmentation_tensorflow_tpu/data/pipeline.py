@@ -46,10 +46,15 @@ class BatchLoader:
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
         self._cache: dict[str, tuple] | None = {} if cache else None
-        self.process_index = (jax.process_index() if process_index is None
-                              else process_index)
-        self.process_count = (jax.process_count() if process_count is None
-                              else process_count)
+        # process-sharding is tied to mesh use: a mesh-less consumer (e.g.
+        # single-host eval) must see full global batches even inside a
+        # multi-process program
+        if process_index is None:
+            process_index = jax.process_index() if mesh is not None else 0
+        if process_count is None:
+            process_count = jax.process_count() if mesh is not None else 1
+        self.process_index = process_index
+        self.process_count = process_count
         if batch_size % self.process_count:
             raise ValueError(
                 f"global batch {batch_size} not divisible by "
@@ -90,11 +95,18 @@ class BatchLoader:
         lo = self.process_index * local
         for i in range(0, len(paths), bs):
             chunk = paths[i:i + bs]
-            if len(chunk) < bs:
+            n_real = len(chunk)
+            if n_real < bs:
                 if self.drop_remainder:
                     break
-                chunk = chunk + paths[: bs - len(chunk)]  # wrap-pad
-            yield self._stack(chunk[lo:lo + local])  # this host's slice
+                # wrap-pad to keep shapes static, but mark the duplicated
+                # examples entirely invalid so loss/metrics never count them
+                chunk = chunk + paths[: bs - n_real]
+            batch = self._stack(chunk[lo:lo + local])
+            if n_real < bs:
+                pad_mask = np.arange(lo, lo + local) >= n_real
+                batch["valid"] = batch["valid"] & ~pad_mask[:, None, None]
+            yield batch  # this host's slice
 
     # -- device staging with one-batch-ahead prefetch --------------------
     def epoch(self) -> Iterator[dict]:

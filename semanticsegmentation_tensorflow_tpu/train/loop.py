@@ -52,6 +52,7 @@ def train(state: TrainState, train_step: Callable, batches_per_epoch: Callable[[
         summary = {k: jax.device_get(v) for k, v in metrics.summary().items()}
         summary["images_per_sec"] = n_imgs / dt if dt > 0 else 0.0
         summary["epoch"] = epoch
+        summary["step"] = step  # global step, for log keying
         hooks.on_epoch(epoch, summary)
     if ckpt is not None:
         ckpt.save(state, wait=True)

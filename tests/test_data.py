@@ -147,3 +147,20 @@ def test_batch_loader_rejects_bad_process_split(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         BatchLoader(ds, batch_size=3, process_index=0, process_count=2)
+
+
+def test_batch_loader_wrap_padding_marked_invalid(tmp_path):
+    """drop_remainder=False wrap-pads the last batch for static shapes but
+    must mark duplicated examples invalid so eval metrics don't double-count."""
+    d = generate_synthetic_kitti(str(tmp_path / "dr3"), n_train=3, n_test=0,
+                                 h=32, w=32)
+    ds = KittiRoadDataset(d, image_size=(32, 32))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=16,
+                         drop_remainder=False)
+    batches = list(loader._host_epoch())
+    assert len(batches) == 2
+    assert batches[0]["valid"].all()          # full batch: everything valid
+    last = batches[1]
+    assert last["image"].shape[0] == 2        # static shape preserved
+    assert last["valid"][0].all()             # the one real example
+    assert not last["valid"][1].any()         # the wrap-padded duplicate

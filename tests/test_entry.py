@@ -1,9 +1,10 @@
 """The driver contract: __graft_entry__ must compile single-chip and run the
 full sharded train step on a virtual multi-device mesh."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

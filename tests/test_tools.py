@@ -4,9 +4,10 @@ import flax
 import jax
 import jax.numpy as jnp
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.import_tf_vgg import convert
 from semanticsegmentation_tensorflow_tpu.models.vgg16 import (
