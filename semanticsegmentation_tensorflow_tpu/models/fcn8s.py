@@ -26,11 +26,16 @@ _SCORE_INIT = nn.initializers.normal(stddev=0.01)
 
 
 class FCN8s(nn.Module):
+    """FCN, all three paper variants via ``variant``:
+    32 = direct 32x upsample of conv7 scores; 16 = fuse pool4, 16x up;
+    8 (default, the reference's) = fuse pool4 + pool3, 8x up."""
+
     num_classes: int = 2
     fc_features: int = 1024
     width_mult: float = 1.0
     use_bn: bool = False
     dropout_rate: float = 0.5   # the reference's KEEP_PROB on fc6/fc7
+    variant: int = 8            # 8 | 16 | 32
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
     # pixel-shuffle decomposition of the transposed convs (bit-identical
@@ -59,11 +64,21 @@ class FCN8s(nn.Module):
                 dtype=self.dtype, kernel_init=_SCORE_INIT, name=name,
             )(t)
 
-        s7 = score(ends["conv7"], "score_conv7")          # /32
-        s4 = score(ends["pool4"], "score_pool4")          # /16
-        s3 = score(ends["pool3"], "score_pool3")          # /8
+        if self.variant not in (8, 16, 32):
+            raise ValueError(f"FCN variant must be 8/16/32, got {self.variant}")
 
+        s7 = score(ends["conv7"], "score_conv7")          # /32
+        if self.variant == 32:
+            x = up(s7, 32, "up32_final")                  # /1
+            return x.astype(jnp.float32)
+
+        s4 = score(ends["pool4"], "score_pool4")          # /16
         x = up(s7, 2, "up2_conv7") + s4                   # /16
+        if self.variant == 16:
+            x = up(x, 16, "up16_final")                   # /1
+            return x.astype(jnp.float32)
+
+        s3 = score(ends["pool3"], "score_pool3")          # /8
         x = up(x, 2, "up2_fuse4") + s3                    # /8
         x = up(x, 8, "up8_final")                         # /1
         return x.astype(jnp.float32)

@@ -13,6 +13,8 @@ from semanticsegmentation_tensorflow_tpu.models.unet import UNet
 
 MODELS: dict[str, Callable[..., nn.Module]] = {
     "fcn8s": FCN8s,
+    "fcn16s": lambda **kw: FCN8s(variant=16, **kw),
+    "fcn32s": lambda **kw: FCN8s(variant=32, **kw),
     "unet": UNet,
     "segnet": SegNet,
     "deeplab": DeepLabASPP,

@@ -9,6 +9,8 @@ from semanticsegmentation_tensorflow_tpu.models import (
 
 TINY = {
     "fcn8s": dict(fc_features=32, width_mult=0.125),
+    "fcn16s": dict(fc_features=32, width_mult=0.125),
+    "fcn32s": dict(fc_features=32, width_mult=0.125),
     "unet": dict(base_features=8),
     "segnet": dict(width_mult=0.125),
     "deeplab": dict(aspp_features=16, width_mult=0.125, rates=(2, 4)),
