@@ -8,7 +8,10 @@ pod slice, or N fake CPU devices in tests.
 
 from semanticsegmentation_tensorflow_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_mesh_2d,
     shard_batch,
     replicate,
+    batch_spec,
     DATA_AXIS,
+    SPATIAL_AXIS,
 )

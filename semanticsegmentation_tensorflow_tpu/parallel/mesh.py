@@ -14,6 +14,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(devices: list | None = None) -> Mesh:
@@ -22,15 +23,39 @@ def make_mesh(devices: list | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_2d(data: int, spatial: int,
+                 devices: list | None = None) -> Mesh:
+    """2-D mesh: batch sharded over ``data``, image HEIGHT sharded over
+    ``spatial``. Spatial partitioning splits each image's rows across chips;
+    XLA's SPMD partitioner inserts the halo exchanges convolutions need at
+    shard boundaries automatically (collectives ride ICI). This is the
+    conv-net analog of sequence parallelism (SURVEY.md §5 "spatial
+    partitioning ... optional stretch") — it lets activations larger than
+    one chip's HBM train without shrinking the batch."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if data * spatial != len(devices):
+        raise ValueError(f"mesh {data}x{spatial} != {len(devices)} devices")
+    return Mesh(np.asarray(devices).reshape(data, spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for [N, H, ...] batch leaves under the given mesh."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return P(DATA_AXIS, SPATIAL_AXIS)
+    return P(DATA_AXIS)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch on device, sharded along the leading (batch) dim.
 
     Single-process: ``batch`` is the global batch (leading dim divisible by
     the mesh size). Multi-process (pods): ``batch`` is this host's local
     slice (see BatchLoader's process sharding) and the global array is
-    assembled across hosts.
+    assembled across hosts. On a 2-D mesh the image height dim also shards
+    over the ``spatial`` axis.
     """
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharding = NamedSharding(mesh, batch_spec(mesh))
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from semanticsegmentation_tensorflow_tpu.parallel.mesh import DATA_AXIS
+from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
+    DATA_AXIS, SPATIAL_AXIS, batch_spec,
+)
 from semanticsegmentation_tensorflow_tpu.train.loss import softmax_cross_entropy_loss
 from semanticsegmentation_tensorflow_tpu.train.metrics import confusion_matrix
 from semanticsegmentation_tensorflow_tpu.train.state import TrainState
@@ -87,13 +89,36 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
                     augment_fn: AugmentFn | None = None) -> Callable:
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
-    With ``mesh``, the returned function is an SPMD program over the ``data``
-    axis; without, a plain single-device jit. ``state`` is donated either way.
+    * no mesh: plain single-device jit.
+    * 1-D ``data`` mesh: explicit SPMD via jax.shard_map — per-shard grads
+      ``pmean``-allreduced over ICI.
+    * 2-D ``data`` x ``spatial`` mesh: compiler-partitioned (pjit-style) —
+      batch sharded on N, image HEIGHT sharded across ``spatial``; XLA's
+      SPMD partitioner inserts the conv halo exchanges and the grad/metric
+      reductions. For activations too large for one chip's HBM.
+
+    ``state`` is donated in every case.
     """
     if mesh is None:
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None)
         return jax.jit(body, donate_argnums=(0,))
+
+    if SPATIAL_AXIS in mesh.axis_names:
+        # compiler-partitioned path: the body is written as a global-batch
+        # program (axis=None); shardings alone drive the parallelism.
+        # (Random *crop* augmentation would force H gathers here — use
+        # flip/normalize-only augment with spatial sharding.)
+        body = partial(_train_step_body, num_classes=num_classes,
+                       augment_fn=augment_fn, axis=None)
+        bspec = NamedSharding(mesh, batch_spec(mesh))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            body,
+            in_shardings=(repl, bspec),   # pytree-prefix: all batch leaves
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
 
     body = partial(_train_step_body, num_classes=num_classes,
                    augment_fn=augment_fn, axis=DATA_AXIS)

@@ -205,3 +205,47 @@ class TestAbstractState:
         with pytest.raises(FileNotFoundError):
             mgr.restore(tmpl)
         mgr.close()
+
+
+class TestSpatialPartitioning:
+    """2-D data x spatial mesh: image rows sharded across chips, XLA inserts
+    conv halo exchanges (SURVEY.md §5 spatial-partitioning stretch)."""
+
+    def test_spatial_sharded_matches_single_device(self):
+        from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+        mesh = make_mesh_2d(2, 4)
+        batch = _batch(4, h=64, w=32)
+
+        sa = _tiny_state(base_features=8, seed=0, shape=(4, 64, 32, 3),
+                         opt="sgd", dtype=jnp.float32)
+        step_a = make_train_step(num_classes=2)
+        sa, out_a = step_a(sa, batch)
+
+        sb = _tiny_state(base_features=8, seed=0, shape=(4, 64, 32, 3),
+                         opt="sgd", dtype=jnp.float32)
+        sb = replicate(sb, mesh)
+        step_b = make_train_step(num_classes=2, mesh=mesh)
+        sb, out_b = step_b(sb, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_a["cm"]),
+                                      np.asarray(out_b["cm"]))
+        for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_spatial_mesh_batch_spec(self):
+        from semanticsegmentation_tensorflow_tpu.parallel import (
+            make_mesh_2d, batch_spec,
+        )
+        from jax.sharding import PartitionSpec as P
+        mesh = make_mesh_2d(4, 2)
+        assert batch_spec(mesh) == P("data", "spatial")
+        b = shard_batch(_batch(4, h=32, w=32), mesh)
+        assert b["image"].sharding.spec == P("data", "spatial")
+
+    def test_mesh_2d_rejects_bad_shape(self):
+        from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+        with pytest.raises(ValueError):
+            make_mesh_2d(3, 2)
