@@ -144,7 +144,8 @@ def main(argv=None):
              and k != "step"}),
     )
 
-    step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug)
+    step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug,
+                              remat=tr.remat)
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,
