@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard image height across N chips (2-D data x "
+                        "spatial mesh; disables random crop)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
@@ -54,7 +57,9 @@ def main(argv=None):
     )
     from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
     from semanticsegmentation_tensorflow_tpu.models import build_model
-    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh, replicate
+    from semanticsegmentation_tensorflow_tpu.parallel import (
+        make_mesh, make_mesh_2d, replicate,
+    )
     from semanticsegmentation_tensorflow_tpu.train import (
         create_train_state, make_train_step,
     )
@@ -101,9 +106,20 @@ def main(argv=None):
     stride = getattr(model, "total_stride", 32)
 
     n_dev = len(jax.devices())
-    mesh = None if (args.no_mesh or n_dev == 1) else make_mesh()
+    if args.no_mesh or n_dev == 1:
+        mesh, mesh_kind = None, "none"
+    elif args.spatial > 1:
+        mesh = make_mesh_2d(n_dev // args.spatial, args.spatial)
+        mesh_kind = f"data{n_dev // args.spatial}xspatial{args.spatial}"
+        if dc.crop_size is not None:
+            # random crops gather across spatial shards; train at full size
+            dc = dataclasses.replace(dc, crop_size=None)
+            cfg = dataclasses.replace(cfg, data=dc)
+            print("note: --spatial disables random crop (full-size training)")
+    else:
+        mesh, mesh_kind = make_mesh(), "1d-data"
     print(f"model={cfg.model} devices={n_dev} "
-          f"mesh={'1d-data' if mesh else 'none'} train_images={n_train}")
+          f"mesh={mesh_kind} train_images={n_train}")
 
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
                          seed=tr.seed, mesh=mesh)
