@@ -73,19 +73,39 @@ class Predictor:
 
 
 def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
-                           runs_dir: str = "runs",
+                           runs_dir: str = "runs", prefetch: int = 2,
                            ) -> Iterator[tuple[str, str]]:
     """Run the test sweep; writes overlay PNGs to runs/<timestamp>/.
 
     Yields (image_path, output_path) as each file lands (streaming, like the
-    reference's generator).
+    reference's generator, SURVEY.md §3.2) — but with the host PNG decode
+    running in a prefetch thread so it overlaps the device forward pass
+    instead of serializing with it.
     """
+    import queue
+    import threading
+
     from PIL import Image
 
     out_dir = os.path.join(runs_dir, time.strftime("%Y%m%d-%H%M%S"))
     os.makedirs(out_dir, exist_ok=True)
-    for p in image_paths:
-        overlay, _ = predictor.predict_file(p)
+
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+
+    def producer() -> None:
+        try:
+            for p in image_paths:
+                q.put((p, load_image(p, predictor.image_size)))
+        finally:
+            q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        p, img = item
+        overlay, _ = predictor(img)
         out_path = os.path.join(out_dir, os.path.basename(p))
         Image.fromarray(overlay).save(out_path)
         yield p, out_path
