@@ -32,4 +32,4 @@ def test_unknown_preset_raises():
 def test_all_registry_models_instantiable():
     for name in MODELS:
         m = build_model(name, num_classes=3)
-        assert getattr(m, "num_classes", 3) == 3 or True  # constructs
+        assert m.num_classes == 3
