@@ -96,14 +96,17 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
         try:
             for p in image_paths:
                 q.put((p, load_image(p, predictor.image_size)))
-        finally:
             q.put(None)
+        except BaseException as e:  # propagate decode errors to the consumer
+            q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
         item = q.get()
         if item is None:
             return
+        if isinstance(item, BaseException):
+            raise item
         p, img = item
         overlay, _ = predictor(img)
         out_path = os.path.join(out_dir, os.path.basename(p))

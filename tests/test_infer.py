@@ -48,3 +48,10 @@ def test_save_inference_samples_writes_runs_dir(tmp_path):
     for src, dst in outs:
         assert os.path.exists(dst)
         assert os.path.basename(dst) == os.path.basename(src)
+
+
+def test_save_inference_samples_propagates_decode_errors(tmp_path):
+    p = _predictor()
+    with np.testing.assert_raises(Exception):
+        list(save_inference_samples(p, ["/nonexistent/x.png"],
+                                    runs_dir=str(tmp_path / "r")))
