@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
+    p.add_argument("--pallas-preprocess", action="store_true",
+                   help="use the Pallas preprocess kernel for the "
+                        "normalize leg (bit-identical to the XLA path)")
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height across N chips (2-D data x "
                         "spatial mesh; disables random crop)")
@@ -124,8 +127,15 @@ def main(argv=None):
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
                          seed=tr.seed, mesh=mesh)
 
-    aug = make_augment_fn(dc.mean, dc.std, crop_size=dc.crop_size,
-                          random_flip=dc.random_flip)
+    if args.pallas_preprocess:
+        from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
+            make_pallas_augment_fn,
+        )
+        aug = make_pallas_augment_fn(dc.mean, dc.std, crop_size=dc.crop_size,
+                                     random_flip=dc.random_flip)
+    else:
+        aug = make_augment_fn(dc.mean, dc.std, crop_size=dc.crop_size,
+                              random_flip=dc.random_flip)
     if dc.crop_size:
         h, w = dc.crop_size
     else:
