@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--data-dir", default=None)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--runs-dir", default="runs")
+    p.add_argument("--batch", type=int, default=1,
+                   help="batch the sweep (reference mode is 1 image at a "
+                        "time; batch 8 is ~2x device throughput)")
     args = p.parse_args(argv)
 
     import jax
@@ -61,7 +64,8 @@ def main(argv=None):
                           std=dc.std)
     t0, n = time.perf_counter(), 0
     for src, dst in save_inference_samples(predictor, ds.test_images,
-                                           args.runs_dir):
+                                           args.runs_dir,
+                                           batch_size=args.batch):
         n += 1
         print(f"{src} -> {dst}")
     dt = time.perf_counter() - t0

@@ -74,13 +74,17 @@ class Predictor:
 
 def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
                            runs_dir: str = "runs", prefetch: int = 2,
+                           batch_size: int = 1,
                            ) -> Iterator[tuple[str, str]]:
     """Run the test sweep; writes overlay PNGs to runs/<timestamp>/.
 
     Yields (image_path, output_path) as each file lands (streaming, like the
     reference's generator, SURVEY.md §3.2) — but with the host PNG decode
     running in a prefetch thread so it overlaps the device forward pass
-    instead of serializing with it.
+    instead of serializing with it. ``batch_size`` > 1 batches the device
+    forward (the reference runs 1 image at a time; batch 8 is ~2x device
+    throughput — benchmarks/results.json). A short final batch is padded by
+    repetition and the padding discarded, so the compiled shape is stable.
     """
     import queue
     import threading
@@ -101,14 +105,28 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
             q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
+
+    pending: list[tuple[str, np.ndarray]] = []
+    done = False
+    while not done:
         item = q.get()
         if item is None:
-            return
-        if isinstance(item, BaseException):
+            done = True
+        elif isinstance(item, BaseException):
             raise item
-        p, img = item
-        overlay, _ = predictor(img)
-        out_path = os.path.join(out_dir, os.path.basename(p))
-        Image.fromarray(overlay).save(out_path)
-        yield p, out_path
+        else:
+            pending.append(item)
+        if not pending or (len(pending) < batch_size and not done):
+            continue
+        names = [p for p, _ in pending]
+        imgs = np.stack([im for _, im in pending])
+        n_real = len(names)
+        if n_real < batch_size:  # pad the ragged tail to the compiled shape
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], batch_size - n_real, axis=0)])
+        overlays, _ = predictor(imgs)
+        for i in range(n_real):
+            out_path = os.path.join(out_dir, os.path.basename(names[i]))
+            Image.fromarray(overlays[i]).save(out_path)
+            yield names[i], out_path
+        pending = []

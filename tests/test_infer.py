@@ -55,3 +55,23 @@ def test_save_inference_samples_propagates_decode_errors(tmp_path):
     with np.testing.assert_raises(Exception):
         list(save_inference_samples(p, ["/nonexistent/x.png"],
                                     runs_dir=str(tmp_path / "r")))
+
+
+def test_save_inference_samples_batched(tmp_path):
+    """batch>1 with a ragged tail: all files written, same outputs as b=1."""
+    d = generate_synthetic_kitti(str(tmp_path / "dr2"), n_train=1, n_test=5,
+                                 h=94, w=150)
+    ds = KittiRoadDataset(d, image_size=(94, 150))
+    p = _predictor()
+    out1 = dict(save_inference_samples(p, ds.test_images,
+                                       runs_dir=str(tmp_path / "r1"),
+                                       batch_size=1))
+    out2 = dict(save_inference_samples(p, ds.test_images,
+                                       runs_dir=str(tmp_path / "r2"),
+                                       batch_size=2))
+    assert set(out1) == set(out2) and len(out2) == 5
+    from PIL import Image
+    for src in out1:
+        a = np.asarray(Image.open(out1[src]))
+        b = np.asarray(Image.open(out2[src]))
+        np.testing.assert_array_equal(a, b)
