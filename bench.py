@@ -27,6 +27,7 @@ DEFAULT_PEAK = 197.0
 
 
 def main() -> None:
+    from semanticsegmentation_tensorflow_tpu.config import DataConfig
     from semanticsegmentation_tensorflow_tpu.data import make_augment_fn
     from semanticsegmentation_tensorflow_tpu.models import FCN8s
     from semanticsegmentation_tensorflow_tpu.train import (
@@ -43,7 +44,6 @@ def main() -> None:
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
     # the real production step: uint8 HBM-resident batch, normalize+flip
     # fused into the compiled step (BASELINE.json north star)
-    from semanticsegmentation_tensorflow_tpu.config import DataConfig
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=2, augment_fn=aug)

@@ -25,11 +25,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _sync(x) -> None:
-    # true sync = fetch a VALUE (block_until_ready can return early on the
-    # tunneled backend) — slice on-device first so only one element transfers
-    leaf = jax.tree.leaves(x)[0]
-    jax.device_get(leaf[(0,) * leaf.ndim])
+from semanticsegmentation_tensorflow_tpu.utils.profiling import (
+    value_sync as _sync,
+)
 
 
 def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
@@ -41,10 +39,11 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
     )
     from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
 
+    from semanticsegmentation_tensorflow_tpu.config import DataConfig
+
     model = build_model(model_name, num_classes=2, **kwargs)
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3),
                                make_optimizer("adam", 1e-4))
-    from semanticsegmentation_tensorflow_tpu.config import DataConfig
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=2, augment_fn=aug)

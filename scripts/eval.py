@@ -40,10 +40,11 @@ def main(argv=None):
     from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
     from semanticsegmentation_tensorflow_tpu.models import build_model
     from semanticsegmentation_tensorflow_tpu.train import make_eval_step
-    from semanticsegmentation_tensorflow_tpu.train.state import create_abstract_state
     from semanticsegmentation_tensorflow_tpu.train.checkpoint import CheckpointManager
     from semanticsegmentation_tensorflow_tpu.train.metrics import SegMetrics
-    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+    from semanticsegmentation_tensorflow_tpu.train.state import (
+        create_abstract_state, make_optimizer,
+    )
 
     cfg = get_preset(args.preset)
     dc = cfg.data

@@ -156,11 +156,14 @@ def main(argv=None):
     from semanticsegmentation_tensorflow_tpu.utils.logging import MetricsLogger
 
     logger = MetricsLogger(os.path.join(tr.checkpoint_dir, "logs"))
+
+    def log_step(step, m):
+        logger.log(step, m)
+        print(f"step {step}: " + " ".join(
+            f"{k}={float(v):.4f}" for k, v in m.items()))
+
     hooks = LoopHooks(
-        on_log=lambda step, m: (
-            logger.log(step, m),
-            print(f"step {step}: " + " ".join(
-                f"{k}={float(v):.4f}" for k, v in m.items())))[-1],
+        on_log=log_step,
         # epoch summaries keyed by GLOBAL step under epoch/-prefixed tags so
         # they never collide with the per-step series
         on_epoch=lambda epoch, s: logger.log(

@@ -23,6 +23,18 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def value_sync(x) -> None:
+    """True device sync: fetch one VALUE from the first array leaf.
+
+    ``block_until_ready`` can return before execution completes on tunneled
+    backends (observed on axon/v5e — it once produced a 300x-too-fast
+    benchmark); a value fetch is a genuine device round-trip. The leaf is
+    sliced on device first so only one element transfers.
+    """
+    leaf = jax.tree.leaves(x)[0]
+    jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
 class Timer:
     """Wall timer that syncs the device before reading the clock, so timed
     regions measure device work, not async dispatch."""
@@ -40,15 +52,15 @@ class Timer:
 
     @staticmethod
     def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-        """Median seconds per call, with block_until_ready syncs."""
+        """Median seconds per call, with true value-fetch syncs."""
         for _ in range(warmup):
             out = fn(*args)
-        jax.block_until_ready(out)
+        value_sync(out)
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             out = fn(*args)
-            jax.block_until_ready(out)
+            value_sync(out)
             times.append(time.perf_counter() - t0)
         times.sort()
         return times[len(times) // 2]
