@@ -31,11 +31,15 @@ def main(argv=None):
     p.add_argument("--data-dir", default=None)
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--split", default=None,
+                   help="labeled split to evaluate (default: 'val' for "
+                        "cityscapes, 'train' for kitti_road, which has no "
+                        "public val GT)")
     args = p.parse_args(argv)
 
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.data import (
-        build_dataset, make_augment_fn,
+        build_dataset, normalize_images,
     )
     from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
     from semanticsegmentation_tensorflow_tpu.models import build_model
@@ -60,18 +64,20 @@ def main(argv=None):
     state = ckpt.restore(state)
     print(f"evaluating checkpoint step {int(state.step)}")
 
-    ds = build_dataset(dc.dataset, args.data_dir or dc.data_dir, dc.image_size)
+    split = args.split or ("val" if dc.dataset == "cityscapes" else "train")
+    ds = build_dataset(dc.dataset, args.data_dir or dc.data_dir,
+                       dc.image_size, split=split)
+    print(f"evaluating split={split!r} ({len(ds.train_images)} images)")
     loader = BatchLoader(ds, args.batch_size, pad_multiple=stride,
                          drop_remainder=False)
-    normalize = make_augment_fn(dc.mean, dc.std, crop_size=None,
-                                random_flip=False)
+    # eval is deterministic: plain normalize, no RNG, no augment interface
+    normalize = jax.jit(lambda b: dict(
+        b, image=normalize_images(b["image"], dc.mean, dc.std)))
     eval_step = make_eval_step(dc.num_classes)
 
     metrics = SegMetrics.zero(dc.num_classes)
-    key = jax.random.key(0)
     for batch in loader.epoch():
-        batch = normalize(key, batch)
-        out = eval_step(state, batch)
+        out = eval_step(state, normalize(batch))
         metrics = metrics.update(out["cm"], out["loss"])
     s = {k: jax.device_get(v) for k, v in metrics.summary().items()}
     print(f"loss={float(s['loss']):.4f} miou={float(s['miou']):.4f} "

@@ -127,6 +127,13 @@ def main(argv=None):
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
                          seed=tr.seed, mesh=mesh)
 
+    if args.pallas_preprocess and args.spatial > 1:
+        # the Pallas normalize kernel cannot be partitioned by XLA's SPMD
+        # partitioner through the 2-D (height-sharded) jit — unlike the 1-D
+        # shard_map path where it runs per-shard; fall back explicitly
+        print("note: --pallas-preprocess is unsupported with --spatial>1 "
+              "(SPMD cannot partition through pallas_call); using XLA path")
+        args.pallas_preprocess = False
     if args.pallas_preprocess:
         from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
             make_pallas_augment_fn,

@@ -31,10 +31,20 @@ from semanticsegmentation_tensorflow_tpu.data.cityscapes import (  # noqa: F401
 )
 
 
-def build_dataset(dataset: str, data_dir: str, image_size: tuple[int, int]):
-    """Dataset factory keyed by DataConfig.dataset."""
+def build_dataset(dataset: str, data_dir: str, image_size: tuple[int, int],
+                  split: str = "train"):
+    """Dataset factory keyed by DataConfig.dataset.
+
+    ``split`` selects the labeled split to iterate (``train_images``).
+    Cityscapes has a labeled ``val`` split; KITTI road's testing split has
+    no public GT, so only ``train`` is valid there.
+    """
     if dataset in ("kitti_road", "synthetic"):
+        if split != "train":
+            raise ValueError(
+                f"KITTI road has no labeled {split!r} split (testing GT is "
+                "withheld by the benchmark); only 'train' is available")
         return KittiRoadDataset(data_dir, image_size=image_size)
     if dataset == "cityscapes":
-        return CityscapesDataset(data_dir, image_size=image_size)
+        return CityscapesDataset(data_dir, split=split, image_size=image_size)
     raise ValueError(f"unknown dataset {dataset!r}")

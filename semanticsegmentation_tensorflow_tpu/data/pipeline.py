@@ -119,10 +119,16 @@ class BatchLoader:
             return jax.device_put(batch)
 
         def producer():
+            # Propagate failures (corrupt PNG, missing GT, bad divisibility)
+            # to the consumer instead of silently ending the epoch early —
+            # a swallowed error here would train truncated epochs and still
+            # checkpoint as if healthy.
             try:
                 for b in self._host_epoch():
                     q.put(put(b))  # device_put is async; overlaps compute
-            finally:
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
+            else:
                 q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -131,6 +137,8 @@ class BatchLoader:
             b = q.get()
             if b is None:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield b
 
     def steps_per_epoch(self) -> int:

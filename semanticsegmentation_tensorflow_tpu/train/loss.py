@@ -14,21 +14,37 @@ import jax.numpy as jnp
 import optax
 
 
+def softmax_cross_entropy_sum(
+    logits: jax.Array,
+    labels_onehot: jax.Array,
+    valid_mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(sum of masked per-pixel CE, number of valid pixels).
+
+    The un-normalized form exists so SPMD callers can normalize GLOBALLY:
+    ``psum(ce_sum) / psum(valid_sum)`` is the exact global masked mean even
+    when shards carry different valid-pixel counts (KITTI ignore regions,
+    wrap-padded tails) — whereas pmean of per-shard means over-weights
+    pixels on sparse shards.
+
+    Args:
+      logits:        [N, H, W, C] float32.
+      labels_onehot: [N, H, W, C] one-hot (or soft) targets.
+      valid_mask:    optional [N, H, W] {0,1}; invalid pixels contribute 0.
+    """
+    ce = optax.softmax_cross_entropy(logits, labels_onehot)  # [N, H, W]
+    if valid_mask is None:
+        return jnp.sum(ce), jnp.asarray(ce.size, ce.dtype)
+    valid = valid_mask.astype(ce.dtype)
+    return jnp.sum(ce * valid), jnp.sum(valid)
+
+
 def softmax_cross_entropy_loss(
     logits: jax.Array,
     labels_onehot: jax.Array,
     valid_mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Mean per-pixel CE.
-
-    Args:
-      logits:        [N, H, W, C] float32.
-      labels_onehot: [N, H, W, C] one-hot (or soft) targets.
-      valid_mask:    optional [N, H, W] {0,1}; invalid pixels are excluded
-                     from the mean.
-    """
-    ce = optax.softmax_cross_entropy(logits, labels_onehot)  # [N, H, W]
-    if valid_mask is None:
-        return jnp.mean(ce)
-    valid = valid_mask.astype(ce.dtype)
-    return jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    """Mean per-pixel CE over valid pixels (single-device convenience form)."""
+    ce_sum, valid_sum = softmax_cross_entropy_sum(
+        logits, labels_onehot, valid_mask)
+    return ce_sum / jnp.maximum(valid_sum, 1.0)

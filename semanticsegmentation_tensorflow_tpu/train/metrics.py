@@ -32,14 +32,32 @@ def confusion_matrix(
     """
     t = true_labels.reshape(-1)
     p = pred_labels.reshape(-1)
-    t1h = jax.nn.one_hot(t, num_classes, dtype=jnp.bfloat16)  # [P, C]
-    p1h = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
-    if valid_mask is not None:
-        t1h = t1h * valid_mask.reshape(-1, 1).astype(jnp.bfloat16)
-    cm = jax.lax.dot_general(
-        t1h, p1h, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return cm.astype(jnp.int32)
+    v = None if valid_mask is None else valid_mask.reshape(-1)
+
+    def contract(t, p, v):
+        t1h = jax.nn.one_hot(t, num_classes, dtype=jnp.bfloat16)  # [P, C]
+        p1h = jax.nn.one_hot(p, num_classes, dtype=jnp.bfloat16)
+        if v is not None:
+            t1h = t1h * v.reshape(-1, 1).astype(jnp.bfloat16)
+        cm = jax.lax.dot_general(
+            t1h, p1h, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return cm.astype(jnp.int32)
+
+    # f32 accumulation is exact only while each CM entry stays < 2^24; a
+    # single call can violate that (e.g. batch 16 at 1024x2048 dominated by
+    # one class), so chunk the contraction and accumulate the per-chunk
+    # counts in int32. Shapes are static, so this unrolls at trace time
+    # (at most a handful of chunks).
+    limit = 1 << 23  # half the exactness bound, for headroom
+    if t.size <= limit:
+        return contract(t, p, v)
+    n_chunks = -(-t.size // limit)
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for i in range(n_chunks):
+        sl = slice(i * limit, min((i + 1) * limit, t.size))
+        cm = cm + contract(t[sl], p[sl], None if v is None else v[sl])
+    return cm
 
 
 def iou_from_confusion(cm: jax.Array) -> tuple[jax.Array, jax.Array]:

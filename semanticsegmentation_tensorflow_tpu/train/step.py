@@ -27,7 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
     DATA_AXIS, SPATIAL_AXIS, batch_spec,
 )
-from semanticsegmentation_tensorflow_tpu.train.loss import softmax_cross_entropy_loss
+from semanticsegmentation_tensorflow_tpu.train.loss import (
+    softmax_cross_entropy_sum,
+)
 from semanticsegmentation_tensorflow_tpu.train.metrics import confusion_matrix
 from semanticsegmentation_tensorflow_tpu.train.state import TrainState
 
@@ -60,8 +62,12 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
     new_stats = (mutated["batch_stats"] if (train and has_bn)
                  else state.batch_stats)
     onehot = jax.nn.one_hot(batch["label"], num_classes, dtype=logits.dtype)
-    loss = softmax_cross_entropy_loss(logits, onehot, batch.get("valid"))
-    return loss, (logits, new_stats)
+    # Return the UN-normalized CE sum + valid count; the caller divides by
+    # the (psum'd, when sharded) global valid count so mesh and no-mesh
+    # training are numerically identical even with uneven masks.
+    ce_sum, valid_sum = softmax_cross_entropy_sum(
+        logits, onehot, batch.get("valid"))
+    return ce_sum, (valid_sum, logits, new_stats)
 
 
 def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
@@ -79,12 +85,19 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
         lambda p: _forward_loss(state, p, batch, num_classes, train=True,
                                 dropout_rng=dropout_rng, remat=remat),
         has_aux=True)
-    (loss, (logits, new_stats)), grads = grad_fn(state.params)
+    (ce_sum, (valid_sum, logits, new_stats)), grads = grad_fn(state.params)
 
+    # Exact global masked mean: psum the CE sum, the grad of the CE sum, and
+    # the valid-pixel count, then divide — identical to single-device math
+    # regardless of how valid pixels distribute across shards.
     if axis is not None:
-        grads = lax.pmean(grads, axis)
-        loss = lax.pmean(loss, axis)
+        ce_sum = lax.psum(ce_sum, axis)
+        valid_sum = lax.psum(valid_sum, axis)
+        grads = lax.psum(grads, axis)
         new_stats = jax.tree.map(lambda s: lax.pmean(s, axis), new_stats)
+    denom = jnp.maximum(valid_sum, 1.0)
+    loss = ce_sum / denom
+    grads = jax.tree.map(lambda g: g / denom.astype(g.dtype), grads)
 
     new_state = state.apply_gradients(grads, batch_stats=new_stats)
 
@@ -149,13 +162,15 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
 
 def _eval_step_body(state: TrainState, batch: dict, *, num_classes: int,
                     axis: str | None):
-    loss, (logits, _) = _forward_loss(state, state.params, batch, num_classes,
-                                      train=False)
+    ce_sum, (valid_sum, logits, _) = _forward_loss(
+        state, state.params, batch, num_classes, train=False)
     preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(batch["label"], preds, num_classes, batch.get("valid"))
     if axis is not None:
         cm = lax.psum(cm, axis)
-        loss = lax.pmean(loss, axis)
+        ce_sum = lax.psum(ce_sum, axis)
+        valid_sum = lax.psum(valid_sum, axis)
+    loss = ce_sum / jnp.maximum(valid_sum, 1.0)
     return {"loss": loss, "cm": cm, "pred": preds}
 
 

@@ -19,6 +19,12 @@ def test_entry_forward_shape():
 
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
+    # hermeticity contract: the dryrun must never place data on a non-CPU
+    # device when the mesh lives on (fake) CPU devices — validated for real
+    # with the axon TPU plugin present (round 2); here we at least assert the
+    # post-dryrun heap is CPU-only.
+    assert not [a for a in jax.live_arrays()
+                if any(d.platform != "cpu" for d in a.devices())]
 
 
 def test_dryrun_multichip_2():
