@@ -5,15 +5,23 @@ Measures fused fwd+bwd+update images/sec/chip for FCN-8s (VGG16, bf16 MXU) at
 1242x375 padded to 1248x384 — the reference's headline workload
 (BASELINE.json: "KITTI road 1242x375 images/sec/chip"). The reference
 publishes no numbers (BASELINE.json `"published": {}`); `vs_baseline` is
-therefore reported against the driver-set target of 95% of the bf16 roofline,
-computed from the XLA-reported FLOP count of this exact compiled step.
+therefore reported against the driver-set target of 95% of the bf16 roofline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The roofline denominator is pinned to the XLA-counted FLOPs of the CANONICAL
+(unpacked) model — the semantic workload — not of whatever program runs
+fastest: the production step uses the width-pair-packed stage1
+(ops/packed_stem.py), which deliberately does ~11% more FLOPs to fill the
+MXU lanes, and counting those would inflate the target. vs_baseline is
+therefore a pure images/sec ratio against a fixed target.
+
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+stderr carries the breakdown: step ms, achieved TFLOP/s, MFU, target img/s.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -39,11 +47,7 @@ def main() -> None:
     setup_runtime()  # persistent compile cache — repeat runs skip the compile
 
     batch, h, w = 16, 384, 1248  # batch 16 saturates the v5e (measured sweep)
-    model = FCN8s(num_classes=2)
     tx = make_optimizer("adam", 1e-4)
-    state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
-    # the real production step: uint8 HBM-resident batch, normalize+flip
-    # fused into the compiled step (BASELINE.json north star)
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=2, augment_fn=aug)
@@ -53,10 +57,19 @@ def main() -> None:
     labels = jnp.asarray(rng.integers(0, 2, (batch, h, w)).astype(np.int32))
     hbm_batch = {"image": images, "label": labels}
 
-    # FLOP count of the compiled step (for the roofline denominator)
-    compiled = jax.jit(lambda s, b: step(s, b)).lower(state, hbm_batch).compile()
-    cost = compiled.cost_analysis()
-    flops = float((cost or {}).get("flops", 0.0))
+    # Roofline denominator: FLOPs of the CANONICAL (unpacked) step — the
+    # reference's semantic workload. Lowered only (no compile/execute).
+    canon = FCN8s(num_classes=2, packed_stage1=False)
+    canon_state = create_train_state(canon, jax.random.key(0),
+                                     (batch, h, w, 3), tx)
+    canon_cost = (jax.jit(lambda s, b: step(s, b))
+                  .lower(canon_state, hbm_batch).compile().cost_analysis())
+    flops = float((canon_cost or {}).get("flops", 0.0))
+    del canon_state
+
+    # The production model: packed stage1 + Pallas pool (auto on TPU).
+    model = FCN8s(num_classes=2)
+    state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
 
     # warmup (state is donated; rebuild via the compiled fn itself).
     # NOTE: sync by *fetching* the loss value — on the tunneled axon backend
@@ -75,6 +88,7 @@ def main() -> None:
     assert np.isfinite(final_loss)
 
     imgs_per_sec = batch * n_steps / dt
+    ms_per_step = dt / n_steps * 1000
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "").lower()
@@ -85,8 +99,19 @@ def main() -> None:
         roofline_imgs = peak_tflops * 1e12 / flops_per_img
         target = 0.95 * roofline_imgs
         vs_baseline = imgs_per_sec / target
+        achieved_tflops = imgs_per_sec * flops_per_img / 1e12
+        mfu = achieved_tflops / peak_tflops
+        print(
+            f"step: {ms_per_step:.2f} ms | {imgs_per_sec:.1f} img/s | "
+            f"canonical {flops_per_img / 1e9:.1f} GFLOP/img -> achieved "
+            f"{achieved_tflops:.1f} TFLOP/s = {mfu * 100:.1f}% MFU of "
+            f"{peak_tflops:.0f} peak | target 0.95*roofline = "
+            f"{target:.1f} img/s on {kind or 'unknown device'}",
+            file=sys.stderr)
     else:
         vs_baseline = 0.0
+        print(f"step: {ms_per_step:.2f} ms | {imgs_per_sec:.1f} img/s | "
+              "no XLA cost analysis available", file=sys.stderr)
 
     print(json.dumps({
         "metric": "fcn8s_kitti_1242x375_train_images_per_sec_per_chip",

@@ -105,7 +105,12 @@ def main(argv=None):
     ds = build_dataset(dc.dataset, data_dir, dc.image_size)
     n_train = len(ds.train_images)
 
-    model = build_model(cfg.model, num_classes=dc.num_classes, **cfg.model_kwargs)
+    model_kwargs = dict(cfg.model_kwargs)
+    if args.spatial > 1 and cfg.model in ("fcn8s", "fcn16s", "fcn32s"):
+        # SPMD cannot partition through the packed stage1's pallas_call;
+        # the jnp pool path partitions fine under the 2-D mesh
+        model_kwargs.setdefault("pallas_pool", False)
+    model = build_model(cfg.model, num_classes=dc.num_classes, **model_kwargs)
     stride = getattr(model, "total_stride", 32)
 
     n_dev = len(jax.devices())

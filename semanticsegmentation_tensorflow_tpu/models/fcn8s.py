@@ -42,11 +42,19 @@ class FCN8s(nn.Module):
     # function + params, ~10x faster on TPU for 2-channel score maps; see
     # ops/fast_upsample.py). Checkpoints are interchangeable either way.
     fast_upsample: bool = True
+    # width-pair-packed stage1 (ops/packed_stem.py): same params/checkpoints,
+    # values equal up to float summation order, ~2x faster stage1 on TPU.
+    packed_stage1: bool = True
+    # Pallas pool inside the packed stage1 (None = auto on TPU); set False
+    # under a compiler-partitioned (2-D spatial) mesh.
+    pallas_pool: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         ends = VGG16(fc_features=self.fc_features, width_mult=self.width_mult,
                      use_bn=self.use_bn, dropout_rate=self.dropout_rate,
+                     packed_stage1=self.packed_stage1,
+                     pallas_pool=self.pallas_pool,
                      dtype=self.dtype, name="vgg16")(x, train=train)
 
         def score(t, name):

@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE, ConvBlock
+from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
+    PackedStage1, PooledConvBlock,
+)
 from semanticsegmentation_tensorflow_tpu.ops.pool import max_pool
 
 # (n_convs, features) per VGG16 stage.
@@ -40,6 +43,16 @@ class VGG16(nn.Module):
     width_mult: float = 1.0
     use_bn: bool = False
     dilated_last_stages: bool = False
+    # compute stage1 with width-pairs packed into channels (full MXU lanes;
+    # ops/packed_stem.py). Same params/checkpoints; values equal up to float
+    # summation order, so it is a perf flag, not an architecture change.
+    packed_stage1: bool = False
+    # Pallas pool kernel inside the packed stage1 (None = auto on TPU); set
+    # False under a compiler-partitioned (2-D spatial) mesh.
+    pallas_pool: bool | None = None
+    # run each pooled stage's last bias+relu AFTER the pool (bit-exact — see
+    # ops/packed_stem.PooledConvBlock — but 1/4-resolution elementwise work)
+    deferred_pool_bias: bool = True
     # dropout on fc6/fc7, the reference's KEEP_PROB (SURVEY.md §3.1 lists it
     # among the script constants; FCN lineage uses keep_prob=0.5). 0 disables.
     dropout_rate: float = 0.5
@@ -52,15 +65,27 @@ class VGG16(nn.Module):
         for i, (n_convs, feats) in enumerate(VGG16_STAGES, start=1):
             feats = max(8, int(feats * self.width_mult))
             dilate_stage = self.dilated_last_stages and i >= 4
-            x = ConvBlock(
-                feats, n_convs=n_convs, use_bn=self.use_bn,
-                dilation=dilation, dtype=self.dtype, name=f"stage{i}",
-            )(x, train=train)
-            if dilate_stage:
-                dilation *= 2  # stride folded into dilation: receptive field kept
-                ends[f"pool{i}"] = x
+            if (i == 1 and self.packed_stage1 and not self.use_bn
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                x = PackedStage1(feats, dtype=self.dtype,
+                                 pallas_pool=self.pallas_pool,
+                                 name="stage1")(x)
+                ends["pool1"] = x
+                continue
+            if dilate_stage or self.use_bn or not self.deferred_pool_bias:
+                x = ConvBlock(
+                    feats, n_convs=n_convs, use_bn=self.use_bn,
+                    dilation=dilation, dtype=self.dtype, name=f"stage{i}",
+                )(x, train=train)
+                if dilate_stage:
+                    dilation *= 2  # stride folded into dilation
+                    ends[f"pool{i}"] = x
+                else:
+                    x = max_pool(x, 2)
+                    ends[f"pool{i}"] = x
             else:
-                x = max_pool(x, 2)
+                x = PooledConvBlock(feats, n_convs=n_convs, dilation=dilation,
+                                    dtype=self.dtype, name=f"stage{i}")(x)
                 ends[f"pool{i}"] = x
 
         # fc6/fc7 as convs (FCN "convolutionalization"). 7x7 at the classic
