@@ -7,10 +7,19 @@ Measures fused fwd+bwd+update images/sec/chip for FCN-8s (VGG16, bf16 MXU) at
 publishes no numbers (BASELINE.json `"published": {}`); `vs_baseline` is
 therefore reported against the driver-set target of 95% of the bf16 roofline.
 
+The benchmarked model is the REFERENCE-EXACT configuration (the
+`fcn8s_kitti_parity` preset): VGG16 with the classic 4096-wide
+convolutionalized fc6/fc7 and KEEP_PROB=0.5 dropout — what the TF scripts
+actually run (SURVEY.md §3.4). Round 1 benched a slimmed fc_features=1024
+variant; measuring the true workload is both the honest parity number and
+what the weight-import path targets. The step computes loss only, like the
+reference's train loop (train-time mIoU is an eval concern; the loop can
+still request it with with_metrics=True).
+
 The roofline denominator is pinned to the XLA-counted FLOPs of the CANONICAL
 (unpacked) model — the semantic workload — not of whatever program runs
 fastest: the production step uses the width-pair-packed stage1
-(ops/packed_stem.py), which deliberately does ~11% more FLOPs to fill the
+(ops/packed_stem.py), which deliberately does ~4% more FLOPs to fill the
 MXU lanes, and counting those would inflate the target. vs_baseline is
 therefore a pure images/sec ratio against a fixed target.
 
@@ -47,10 +56,11 @@ def main() -> None:
     setup_runtime()  # persistent compile cache — repeat runs skip the compile
 
     batch, h, w = 16, 384, 1248  # batch 16 saturates the v5e (measured sweep)
+    fc = 4096                    # reference-exact fc6/fc7 width
     tx = make_optimizer("adam", 1e-4)
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
-    step = make_train_step(num_classes=2, augment_fn=aug)
+    step = make_train_step(num_classes=2, augment_fn=aug, with_metrics=False)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3)).astype(np.uint8))
@@ -59,7 +69,7 @@ def main() -> None:
 
     # Roofline denominator: FLOPs of the CANONICAL (unpacked) step — the
     # reference's semantic workload. Lowered only (no compile/execute).
-    canon = FCN8s(num_classes=2, packed_stage1=False)
+    canon = FCN8s(num_classes=2, fc_features=fc, packed_stage1=False)
     canon_state = create_train_state(canon, jax.random.key(0),
                                      (batch, h, w, 3), tx)
     canon_cost = (jax.jit(lambda s, b: step(s, b))
@@ -68,7 +78,7 @@ def main() -> None:
     del canon_state
 
     # The production model: packed stage1 + Pallas pool (auto on TPU).
-    model = FCN8s(num_classes=2)
+    model = FCN8s(num_classes=2, fc_features=fc)
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
 
     # warmup (state is donated; rebuild via the compiled fn itself).

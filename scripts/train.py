@@ -44,6 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--vgg-weights", default=None,
+                   help=".npz of pretrained VGG16 weights (canonical keys; "
+                        "produce with tools/import_tf_vgg.py)")
+    p.add_argument("--strict-import", action="store_true",
+                   help="error unless every backbone param is covered by "
+                        "--vgg-weights (parity imports)")
     return p.parse_args(argv)
 
 
@@ -157,6 +163,19 @@ def main(argv=None):
     tx = make_optimizer(tr.optimizer, tr.learning_rate, tr.weight_decay)
     state = create_train_state(model, jax.random.key(tr.seed),
                                (tr.batch_size, h, w, 3), tx)
+    if args.vgg_weights:
+        from semanticsegmentation_tensorflow_tpu.models.vgg16 import (
+            load_npz_weights,
+        )
+        report: dict = {}
+        state = state.replace(params=load_npz_weights(
+            state.params, args.vgg_weights, strict=args.strict_import,
+            report=report))
+        print(f"imported {len(report['matched'])} VGG16 tensors from "
+              f"{args.vgg_weights}"
+              + (f"; unmatched backbone params: "
+                 f"{report['unmatched_params']}"
+                 if report["unmatched_params"] else ""))
     ckpt = CheckpointManager(tr.checkpoint_dir)
     if args.resume:
         state = ckpt.restore(state)

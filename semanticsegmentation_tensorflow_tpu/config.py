@@ -66,6 +66,16 @@ PRESETS: dict[str, ExperimentConfig] = {
     "fcn8s_kitti": _cfg(
         name="fcn8s_kitti", model="fcn8s",
         data=DataConfig(crop_size=(320, 1152))),
+    # 2b. FCN-8s in the reference's EXACT configuration: classic 4096-wide
+    # fc6/fc7 (the TF VGG16's fc layers convolutionalized — FCN lineage,
+    # SURVEY.md §3.4) so pretrained TF VGG16 weights import 1:1
+    # (tools/import_tf_vgg.py + load_npz_weights(strict=True)). The default
+    # fc_features=1024 elsewhere is a perf choice; THIS preset is the parity
+    # configuration and the one bench.py measures.
+    "fcn8s_kitti_parity": _cfg(
+        name="fcn8s_kitti_parity", model="fcn8s",
+        model_kwargs={"fc_features": 4096},
+        data=DataConfig(crop_size=(320, 1152))),
     # 3. U-Net on Cityscapes 19-class crops
     "unet_cityscapes": _cfg(
         name="unet_cityscapes", model="unet",

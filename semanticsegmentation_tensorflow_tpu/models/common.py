@@ -14,8 +14,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# Compute dtype used by every model unless overridden.
-DEFAULT_DTYPE = jnp.bfloat16
+# Compute dtype used by every model unless overridden (re-exported from the
+# leaf dtypes module so ops/ can share it without an import cycle).
+from semanticsegmentation_tensorflow_tpu.dtypes import DEFAULT_DTYPE  # noqa: E402,F401
 
 
 class ConvBlock(nn.Module):

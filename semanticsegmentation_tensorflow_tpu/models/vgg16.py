@@ -106,22 +106,63 @@ class VGG16(nn.Module):
         return ends
 
 
-def load_npz_weights(params: dict, npz_path: str) -> dict:
+def load_npz_weights(params: dict, npz_path: str, *, strict: bool = False,
+                     report: dict | None = None) -> dict:
     """Import hook: overwrite matching VGG16 kernels/biases from an .npz
-    archive with keys like ``stage1/conv0/kernel`` (HWIO layout). Entries
-    missing from the archive keep their random init. Returns new params."""
+    archive with keys like ``stage1/conv0/kernel`` (HWIO layout).
+
+    Matching is by canonical name; a name match with a SHAPE mismatch (e.g.
+    classic 4096-wide fc6 weights loaded into an ``fc_features=1024`` model)
+    is an error in both modes — silently keeping random init there would
+    report a "successful" import of a mostly-random model.
+
+    * ``strict=False``: entries absent from the archive keep their init.
+    * ``strict=True``: every *backbone* param (any path containing a
+      ``stageN/`` or ``conv6``/``conv7`` segment) must be matched, and every
+      archive entry must land somewhere; anything else raises ValueError.
+      Use this for parity imports (SURVEY.md §2 row 9).
+
+    ``report`` (optional dict) is filled with ``matched`` / ``unmatched_params``
+    / ``unused_archive`` key lists. Returns new params.
+    """
     import numpy as np
     import flax
 
     blob = np.load(npz_path)
     flat = flax.traverse_util.flatten_dict(params, sep="/")
     loaded = dict(flat)
+    matched: list[str] = []
+    used: set[str] = set()
     for key, val in flat.items():
         # archives may be keyed relative to the parent model ("vgg16/...")
         # or to the backbone itself
-        for candidate in (key, f"vgg16/{key}",
-                          key.removeprefix("vgg16/")):
-            if candidate in blob.files and blob[candidate].shape == val.shape:
+        for candidate in (key, f"vgg16/{key}", key.removeprefix("vgg16/")):
+            if candidate in blob.files:
+                if blob[candidate].shape != tuple(val.shape):
+                    raise ValueError(
+                        f"shape mismatch importing {candidate!r}: archive "
+                        f"{blob[candidate].shape} vs param {tuple(val.shape)}"
+                        " — model width (e.g. fc_features) must match the "
+                        "archive; see the fcn8s_kitti_parity preset")
                 loaded[key] = jnp.asarray(blob[candidate], dtype=val.dtype)
+                matched.append(key)
+                used.add(candidate)
                 break
+
+    def _is_backbone(key: str) -> bool:
+        parts = key.split("/")
+        return any(p.startswith("stage") or p in ("conv6", "conv7")
+                   for p in parts)
+
+    unmatched = [k for k in flat if k not in set(matched) and _is_backbone(k)]
+    unused = [f for f in blob.files if f not in used]
+    if report is not None:
+        report.update(matched=sorted(matched),
+                      unmatched_params=sorted(unmatched),
+                      unused_archive=sorted(unused))
+    if strict and (unmatched or unused):
+        raise ValueError(
+            "strict VGG16 import failed: "
+            f"unmatched backbone params {sorted(unmatched)}; "
+            f"unused archive entries {sorted(unused)}")
     return flax.traverse_util.unflatten_dict(loaded, sep="/")

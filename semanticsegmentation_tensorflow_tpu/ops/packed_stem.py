@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE
+from semanticsegmentation_tensorflow_tpu.dtypes import DEFAULT_DTYPE
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
@@ -204,11 +204,13 @@ class PackedStage1(nn.Module):
     Drop-in replacement for ``ConvBlock(features, n_convs=2)`` + ``max_pool``
     with an identical parameter tree. Requires even input width.
 
-    ``pallas_pool``: use the fused Pallas pool kernel
-    (ops/pallas/pool.py; bit-identical values and gradients to the jnp
-    path). None = auto (on for the TPU backend). Set False when the model
-    runs under a compiler-partitioned (2-D spatial) mesh — XLA's SPMD
-    partitioner cannot partition through a pallas_call.
+    ``pallas_pool``: use the fused Pallas stage1 tail
+    (ops/pallas/stage1.py: relu -> conv1_2 at 4/3 canonical FLOPs via
+    grouped full-lane dots -> pool -> bias -> relu in one kernel pair, with
+    first-max-wins routing identical to the jnp path). None = auto (on for
+    the TPU backend, and only for the canonical features=64). Set False
+    when the model runs under a compiler-partitioned (2-D spatial) mesh —
+    XLA's SPMD partitioner cannot partition through a pallas_call.
     """
 
     features: int = 64
@@ -226,26 +228,24 @@ class PackedStage1(nn.Module):
 
         dt = self.dtype
         x = x.astype(dt)
-        y = lax.conv_general_dilated(
+        z1 = lax.conv_general_dilated(
             x, pack_stem_conv1(k1).astype(dt), window_strides=(1, 2),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)
-        y = nn.relu(y + jnp.tile(b1, 2).astype(dt))
-        y = lax.conv_general_dilated(
-            y, pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
-            padding=((1, 1), (1, 1)), dimension_numbers=_DN)
+        z1 = z1 + jnp.tile(b1, 2).astype(dt)
         use_pallas = self.pallas_pool
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            from semanticsegmentation_tensorflow_tpu.ops.pallas.pool import (
-                pool_pairs_pallas,
+            use_pallas = jax.default_backend() == "tpu" and f == 64
+        if use_pallas and f == 64:
+            from semanticsegmentation_tensorflow_tpu.ops.pallas.stage1 import (
+                fused_stage1_tail,
             )
-            p = pool_pairs_pallas(y)
-        else:
-            p = pool_pairs(y)
+            return fused_stage1_tail(z1, k2, b2, False)
+        y = lax.conv_general_dilated(
+            nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)), dimension_numbers=_DN)
         # bias + relu moved AFTER the pool — exact: max commutes with the
         # per-channel bias add (constant within a window) and with the
         # monotone relu, so relu(pool(z) + b) == pool(relu(z + b)) value-
         # and gradient-wise, while the bias add, the relu mask, and the
         # bias-grad reduction all run at 1/4 resolution (measured -5 ms).
-        return nn.relu(p + b2.astype(dt))
+        return nn.relu(pool_pairs(y) + b2.astype(dt))

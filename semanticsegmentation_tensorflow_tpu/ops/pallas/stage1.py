@@ -1,0 +1,478 @@
+"""Fused Pallas stage1 tail: packed conv1_2 + 2x2 pool + bias + relu.
+
+Replaces the XLA [conv1_2-packed -> pool -> bias -> relu] tail of the
+width-pair-packed VGG stage1 (ops/packed_stem.py) with one Pallas kernel
+pair (fwd + bwd). Three wins over the XLA formulation, all measured on the
+round-2 profile (tools/profile_step.py):
+
+1. **1.33x FLOPs instead of 2x.** The packed->packed [3,3,128,128] conv is
+   half structural zeros (2x the canonical 35 GFLOP/img). Grouping the taps
+   differently removes a quarter of them: with A/B = the even/odd column
+   halves of the packed tensor y, the packed output row is
+
+       z[X] = sum_dy  y[X]  @ M[dy]  +  Q[X] @ S[dy],
+       M[dy] = [[k(dy,1), k(dy,0)], [k(dy,2), k(dy,1)]]   (dense)
+       S[dy] = [[k(dy,0), 0], [0, k(dy,2)]]               (half zeros)
+       Q[X]  = [B[X-1] | A[X+1]]   (built in VMEM from y's halo — free of
+                                    the HBM round-trip that kills this
+                                    formulation in pure XLA)
+
+   i.e. 6 full-lane [*,128]@[128,128] MXU dots per row at 4/3 the canonical
+   FLOPs (M dense useful, S half-useful) vs 2x for the single packed conv.
+2. **No layout copies.** The conv1_1 output is consumed through a
+   transpose-to-HWNC view whose default layout is bit-identical to the
+   {3,0,2,1} layout XLA picks for conv outputs, so the transposes compile
+   to bitcasts — the measured 3 ms relayout copy in front of the previous
+   pool custom-call disappears.
+3. **Fused pool + routing codes.** The pool, its bias+relu epilogue, and a
+   2-bit argmax routing code (u8) are produced in the same pass, so the
+   backward routes gradients with a cheap select instead of recomputing or
+   running select_and_scatter at full resolution.
+
+Exactness contract: consumes the CANONICAL [3,3,64,64] conv1_2 kernel and
+[64] bias. Values match the jnp packed path up to f32 summation order (the
+same products, grouped into different dots); the pool routing reproduces
+select_and_scatter / TF MaxPoolGrad first-max-wins tie semantics exactly in
+(dy, dx) row-major window order, on the bf16 values, matching
+ops/packed_stem.pool_pairs. Gradients for k2/b2/z1 are mathematically exact
+(same routing, f32-accumulated dots).
+
+Reference parity: computes the same VGG16 stage1 tail the reference's
+scripts build with tf.layers conv2d + max_pooling2d (SURVEY.md §3.4; the
+reference mount is empty per SURVEY.md §0 — semantics pinned by
+BASELINE.json:7 "VGG16 backbone").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F = 64  # canonical stage1 feature width; packed width is 2F = 128
+
+
+def _build_mats(k2: jax.Array, dtype) -> tuple[jax.Array, jax.Array]:
+    """Canonical [3,3,F,F] kernel -> (M, S) [3,2F,2F] packed-tap matrices."""
+    k = k2.astype(dtype)
+    z = jnp.zeros_like(k[:, 0])
+    m = jnp.concatenate([
+        jnp.concatenate([k[:, 1], k[:, 0]], axis=2),   # A -> (even | odd)
+        jnp.concatenate([k[:, 2], k[:, 1]], axis=2),   # B -> (even | odd)
+    ], axis=1)
+    s = jnp.concatenate([
+        jnp.concatenate([k[:, 0], z], axis=2),          # B[X-1] -> even
+        jnp.concatenate([z, k[:, 2]], axis=2),          # A[X+1] -> odd
+    ], axis=1)
+    return m, s
+
+
+def _dk_from_mats(dm: jax.Array, ds: jax.Array) -> jax.Array:
+    """(dM, dS) [3,2F,2F] f32 -> canonical dk2 [3,3,F,F] (sum of the tap
+    copies — exactly the canonical kernel gradient)."""
+    f = F
+    dk0 = dm[:, :f, f:] + ds[:, :f, :f]
+    dk1 = dm[:, :f, :f] + dm[:, f:, f:]
+    dk2 = dm[:, f:, :f] + ds[:, f:, f:]
+    return jnp.stack([dk0, dk1, dk2], axis=1)
+
+
+def _lane_iota(shape: tuple[int, ...]) -> jax.Array:
+    return lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _w_iota(shape: tuple[int, ...]) -> jax.Array:
+    return lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _roll(x: jax.Array, shift: int, axis: int) -> jax.Array:
+    """pltpu.roll for [W, nt, C] that works on 16-bit data.
+
+    This Mosaic version only implements rotates on 32-bit data; for 16-bit
+    types with an even sublane count (axis 1) we bitcast to i32 — which
+    packs sublane PAIRS into one 32-bit word, leaving axis 0 and the lanes
+    1:1 — rotate, and bitcast back. Fallback: slice + concat.
+    """
+    assert axis != 1, "axis 1 is the sublane-packing axis"
+    if x.dtype.itemsize == 4:
+        return pltpu.roll(x, shift, axis=axis)
+    if x.dtype.itemsize == 2 and x.shape[1] % 2 == 0:
+        x32 = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(x32, shift, axis=axis), x.dtype)
+    if shift == 0:
+        return x
+    sl = [slice(None)] * x.ndim
+    sr = [slice(None)] * x.ndim
+    sl[axis] = slice(x.shape[axis] - shift, None)
+    sr[axis] = slice(None, x.shape[axis] - shift)
+    return jnp.concatenate([x[tuple(sl)], x[tuple(sr)]], axis=axis)
+
+
+def _half_swap(x: jax.Array) -> jax.Array:
+    """Swap the two F-lane halves: out[..., :F] = x[..., F:] and vice versa."""
+    return _roll(x, F, axis=2)
+
+
+def _build_q(y: jax.Array) -> jax.Array:
+    """y [W, nt, 2F] -> Q [W, nt, 2F] = [B[X-1] | A[X+1]] with zero edges."""
+    w = y.shape[0]
+    t = _half_swap(y)                       # [B | A] in lanes
+    tp = _roll(t, 1, axis=0)                # B[X-1] in low lanes
+    tm = _roll(t, w - 1, axis=0)            # A[X+1] in high lanes
+    lanes = _lane_iota(y.shape)
+    wi = _w_iota(y.shape)
+    z = jnp.zeros_like(y)
+    return jnp.where(lanes < F,
+                     jnp.where(wi > 0, tp, z),
+                     jnp.where(wi < w - 1, tm, z))
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[W,nt,2F] @ [2F,2F] -> [W,nt,2F] f32 (flattened MXU dot)."""
+    w, nt, c = a.shape
+    r = jnp.dot(a.reshape(w * nt, c), b, preferred_element_type=jnp.float32)
+    return r.reshape(w, nt, c)
+
+
+def _dotT(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a^T @ b over positions: [W,nt,2F] x [W,nt,C'] -> [2F,C'] f32."""
+    w, nt, c = a.shape
+    return lax.dot_general(
+        a.reshape(w * nt, c), b.reshape(w * nt, b.shape[-1]),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(z0, z1r, z2, z3, mw, sw, b2, out, codes):
+    """Grid (Hp, N/nt). Inputs: 4 one-row HWNC blocks of the pre-relu
+    conv1_1 output (rows 2p-1 .. 2p+2, edge-clamped), the packed tap
+    matrices, the bias. Outputs: pooled+bias+relu row [1,W,nt,F] bf16 and
+    the 2-bit routing code (u8) for the backward."""
+    p = pl.program_id(0)
+    np_ = pl.num_programs(0)
+    dt = z1r.dtype
+
+    top_ok = (p > 0).astype(dt)
+    bot_ok = (p < np_ - 1).astype(dt)
+    rows = (
+        jnp.maximum(z0[0], 0) * top_ok,   # relu(z1[2p-1]), zero at top edge
+        jnp.maximum(z1r[0], 0),
+        jnp.maximum(z2[0], 0),
+        jnp.maximum(z3[0], 0) * bot_ok,
+    )
+    qs = tuple(_build_q(r) for r in rows)
+
+    # conv rows 2p and 2p+1: z[h] = sum_dy y[h+dy-1] @ M[dy] + Q @ S[dy]
+    def conv_row(base):
+        acc = _dot(rows[base], mw[0]) + _dot(qs[base], sw[0])
+        acc += _dot(rows[base + 1], mw[1]) + _dot(qs[base + 1], sw[1])
+        acc += _dot(rows[base + 2], mw[2]) + _dot(qs[base + 2], sw[2])
+        return acc.astype(dt)               # bf16, like the XLA conv output
+
+    za = conv_row(0)                        # conv row 2p
+    zb = conv_row(1)                        # conv row 2p+1
+
+    # comparisons in f32 (Mosaic on this stack rejects sub-32-bit compares;
+    # f32 equality of exact bf16 values is identical — see ops/pallas/pool.py)
+    v00 = za[..., :F].astype(jnp.float32)
+    v01 = za[..., F:].astype(jnp.float32)
+    v10 = zb[..., :F].astype(jnp.float32)
+    v11 = zb[..., F:].astype(jnp.float32)
+    m = jnp.maximum(jnp.maximum(v00, v01), jnp.maximum(v10, v11))
+    # first-max-wins in (dy, dx) row-major window order — exactly XLA
+    # select_and_scatter / TF MaxPoolGrad tie semantics, on the bf16 values
+    w0 = v00 == m
+    w1 = (v01 == m) & ~w0
+    w2 = (v10 == m) & ~(w0 | w1)
+    w3 = ~(w0 | w1 | w2)
+    code = (w1.astype(jnp.int32) + 2 * w2.astype(jnp.int32)
+            + 3 * w3.astype(jnp.int32))
+    codes[0] = code.astype(jnp.uint8)
+    out[0] = jnp.maximum(m.astype(dt) + b2[0], 0)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(g0, g1, g2, o0, o1, o2, c0, c1, c2, z0, z1r, z2, z3,
+                mwt, swt, dz1, dm, ds, db2):
+    """Grid (Hp, N/nt). Inputs: grad/out/codes pool rows p-1..p+1 and the
+    pre-relu conv1_1 rows 2p-1..2p+2. Outputs: dz1 rows [2,W,nt,2F]
+    (pre-relu conv1_1 grad), and f32 accumulators dM/dS/db2 (constant
+    block, zeroed on the first program, written back once at the end)."""
+    p = pl.program_id(0)
+    nb = pl.program_id(1)
+    np_ = pl.num_programs(0)
+
+    @pl.when((p == 0) & (nb == 0))
+    def _():
+        dm[...] = jnp.zeros_like(dm)
+        ds[...] = jnp.zeros_like(ds)
+        db2[...] = jnp.zeros_like(db2)
+
+    dt = z1r.dtype
+    top_ok = (p > 0).astype(dt)
+    bot_ok = (p < np_ - 1).astype(dt)
+
+    def grelu(g, o, ok):
+        # relu mask compared in f32 (no sub-32-bit compares on this stack)
+        r = jnp.where(o[0].astype(jnp.float32) > 0, g[0], jnp.zeros_like(g[0]))
+        return r * ok
+
+    one = jnp.ones((), dt)
+    gr_prev = grelu(g0, o0, top_ok)
+    gr_mid = grelu(g1, o1, one)
+    gr_next = grelu(g2, o2, bot_ok)
+
+    def route(gr, code, a):
+        """Scatter pooled grad gr [W,nt,F] into conv row 2q+a [W,nt,2F]."""
+        gfull = jnp.concatenate([gr, gr], axis=-1)
+        cfull = jnp.concatenate([code[0], code[0]], axis=-1).astype(jnp.int32)
+        tgt = 2 * a + (_lane_iota(gfull.shape) >= F).astype(jnp.int32)
+        return jnp.where(cfull == tgt, gfull,
+                         jnp.zeros_like(gfull)).astype(dt)
+
+    # dz rows 2p-1 .. 2p+2 (the two outer rows are rebuilt here and also by
+    # the neighbour programs — 2 redundant VPU selects buy non-overlapping
+    # dz1 output blocks)
+    dza = (route(gr_prev, c0, 1), route(gr_mid, c1, 0),
+           route(gr_mid, c1, 1), route(gr_next, c2, 0))
+
+    rows = (
+        jnp.maximum(z0[0], 0) * top_ok,
+        jnp.maximum(z1r[0], 0),
+        jnp.maximum(z2[0], 0),
+        jnp.maximum(z3[0], 0) * bot_ok,
+    )
+    qs = tuple(_build_q(r) for r in rows)
+
+    # input grad: dy[h] = sum_dy dz[h+1-dy] @ M[dy]^T + Q-inverse of
+    # dQ[h] = sum_dy dz[h+1-dy] @ S[dy]^T
+    def igrad_row(i):                       # i: 1 -> row 2p, 2 -> row 2p+1
+        dy = _dot(dza[i + 1], mwt[0]) + _dot(dza[i], mwt[1]) \
+            + _dot(dza[i - 1], mwt[2])
+        dq = _dot(dza[i + 1], swt[0]) + _dot(dza[i], swt[1]) \
+            + _dot(dza[i - 1], swt[2])
+        # dQ[X, :F] belongs to B[X-1] -> shift down; dQ[X, F:] to A[X+1]
+        w = dq.shape[0]
+        lanes = _lane_iota(dq.shape)
+        wi = _w_iota(dq.shape)
+        dqb = _roll(dq, w - 1, axis=0)       # dQ[X+1] -> position X (for B)
+        dqa = _roll(dq, 1, axis=0)           # dQ[X-1] -> position X (for A)
+        z = jnp.zeros_like(dq)
+        side = jnp.where(lanes < F,
+                         jnp.where(wi > 0, _half_swap(dqa), z),
+                         jnp.where(wi < w - 1, _half_swap(dqb), z))
+        return dy + side
+
+    # relu mask of the pre-relu conv1_1 rows (compares in f32)
+    def masked(v, zrow):
+        return jnp.where(zrow.astype(jnp.float32) > 0, v,
+                         jnp.zeros_like(v)).astype(dt)
+
+    dz1[0] = masked(igrad_row(1), z1r[0])
+    dz1[1] = masked(igrad_row(2), z2[0])
+
+    # kernel grad: dM[dy] += y[h+dy-1]^T @ dz[h], dS[dy] += Q^T @ dz[h]
+    # for h in {2p, 2p+1} (dz rows 1, 2)
+    new_dm = [None] * 3
+    new_ds = [None] * 3
+    for dy_tap in range(3):
+        new_dm[dy_tap] = (dm[dy_tap]
+                          + _dotT(rows[dy_tap], dza[1])
+                          + _dotT(rows[dy_tap + 1], dza[2]))
+        new_ds[dy_tap] = (ds[dy_tap]
+                          + _dotT(qs[dy_tap], dza[1])
+                          + _dotT(qs[dy_tap + 1], dza[2]))
+    for dy_tap in range(3):
+        dm[dy_tap] = new_dm[dy_tap]
+        ds[dy_tap] = new_ds[dy_tap]
+    w, nt, _ = gr_mid.shape
+    db2[...] = db2[...] + jnp.sum(
+        gr_mid.astype(jnp.float32).reshape(w * nt, F), axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def _pick_nt(n: int, w: int, budget: int) -> int:
+    """Batch tile for the HWNC blocks. Mosaic requires a block's
+    second-minor dim to be a multiple of 8 or the full array dim, so valid
+    tiles are divisors of n that are 8-aligned, plus n itself. Among those,
+    prefer the largest with w*nt within the VMEM budget, else the smallest
+    valid one."""
+    valid = [c for c in range(1, n + 1)
+             if n % c == 0 and (c % 8 == 0 or c == n)]
+    fitting = [c for c in valid if w * c <= budget]
+    return max(fitting) if fitting else min(valid)
+
+
+def _row_spec(w, nt, c, row_of_p):
+    return pl.BlockSpec((1, w, nt, c),
+                        lambda p, b, _r=row_of_p: (_r(p), 0, b, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda p, b: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(z1t, mw, sw, b2, *, nt, interpret):
+    h, w, n, c = z1t.shape
+    hp = h // 2
+    grid = (hp, n // nt)
+
+    def clamp(f):
+        return lambda p: jnp.clip(f(p), 0, h - 1)
+
+    in_specs = [
+        _row_spec(w, nt, c, clamp(lambda p: 2 * p - 1)),
+        _row_spec(w, nt, c, lambda p: 2 * p),
+        _row_spec(w, nt, c, lambda p: 2 * p + 1),
+        _row_spec(w, nt, c, clamp(lambda p: 2 * p + 2)),
+        _const_spec((3, c, c)),
+        _const_spec((3, c, c)),
+        _const_spec((1, F)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, w, nt, F), lambda p, b: (p, 0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w, nt, F), lambda p, b: (p, 0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((hp, w, n, F), z1t.dtype),
+        jax.ShapeDtypeStruct((hp, w, n, F), jnp.uint8),
+    ]
+    flops = 2 * (12 * w * nt * c * c) * grid[0] * grid[1]
+    return pl.pallas_call(
+        _fwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=z1t.size * 4, transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(z1t, z1t, z1t, z1t, mw, sw, b2.reshape(1, F))
+
+
+def _bwd_call(gt, ot, ct, z1t, mwt, swt, *, nt, interpret):
+    h, w, n, c = z1t.shape
+    hp = h // 2
+    grid = (hp, n // nt)
+
+    def clamp_p(f):
+        return lambda p: jnp.clip(f(p), 0, hp - 1)
+
+    def clamp_h(f):
+        return lambda p: jnp.clip(f(p), 0, h - 1)
+
+    pool_rows = [clamp_p(lambda p: p - 1), lambda p: p, clamp_p(lambda p: p + 1)]
+    in_specs = (
+        [_row_spec(w, nt, F, r) for r in pool_rows]          # g
+        + [_row_spec(w, nt, F, r) for r in pool_rows]        # out
+        + [_row_spec(w, nt, F, r) for r in pool_rows]        # codes
+        + [
+            _row_spec(w, nt, c, clamp_h(lambda p: 2 * p - 1)),
+            _row_spec(w, nt, c, lambda p: 2 * p),
+            _row_spec(w, nt, c, lambda p: 2 * p + 1),
+            _row_spec(w, nt, c, clamp_h(lambda p: 2 * p + 2)),
+            _const_spec((3, c, c)),
+            _const_spec((3, c, c)),
+        ]
+    )
+    out_specs = [
+        pl.BlockSpec((2, w, nt, c), lambda p, b: (p, 0, b, 0),
+                     memory_space=pltpu.VMEM),
+        _const_spec((3, c, c)),
+        _const_spec((3, c, c)),
+        _const_spec((1, F)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((h, w, n, c), z1t.dtype),
+        jax.ShapeDtypeStruct((3, c, c), jnp.float32),
+        jax.ShapeDtypeStruct((3, c, c), jnp.float32),
+        jax.ShapeDtypeStruct((1, F), jnp.float32),
+    ]
+    flops = 2 * (24 * w * nt * c * c) * grid[0] * grid[1]
+    return pl.pallas_call(
+        _bwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=z1t.size * 6, transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(gt, gt, gt, ot, ot, ot, ct, ct, ct, z1t, z1t, z1t, z1t, mwt, swt)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_stage1_tail(z1, k2, b2, interpret=False):
+    """relu -> packed conv1_2 -> 2x2 pool -> +bias -> relu, fused.
+
+    z1: [N,H,Wp,2F] packed PRE-relu conv1_1 output (bias already added).
+    k2: [3,3,F,F] canonical conv1_2 kernel. b2: [F].
+    Returns the canonical pooled stage1 output [N,H/2,Wp,F].
+    """
+    out, _ = _fused_fwd(z1, k2, b2, interpret)
+    return out
+
+
+def _fused_fwd(z1, k2, b2, interpret):
+    n, h, w, c = z1.shape
+    nt = _pick_nt(n, w, 2560)
+    mw, sw = _build_mats(k2, z1.dtype)
+    # HWNC view: bit-identical buffer to the {3,0,2,1} layout XLA picks for
+    # conv outputs, so this transpose (and the one back) is a bitcast
+    z1t = jnp.transpose(z1, (1, 2, 0, 3))
+    out_t, codes_t = _fwd_call(z1t, mw, sw, b2.astype(z1.dtype),
+                               nt=nt, interpret=interpret)
+    out = jnp.transpose(out_t, (2, 0, 1, 3))
+    return out, (z1, k2, b2, out_t, codes_t)
+
+
+def _fused_bwd(interpret, res, g):
+    z1, k2, b2, out_t, codes_t = res
+    n, h, w, c = z1.shape
+    nt = _pick_nt(n, w, 1280)
+    mw, sw = _build_mats(k2, z1.dtype)
+    mwt = jnp.swapaxes(mw, 1, 2)
+    swt = jnp.swapaxes(sw, 1, 2)
+    gt = jnp.transpose(g.astype(z1.dtype), (1, 2, 0, 3))
+    z1t = jnp.transpose(z1, (1, 2, 0, 3))
+    dz1t, dm, ds, db2 = _bwd_call(gt, out_t, codes_t, z1t, mwt, swt,
+                                  nt=nt, interpret=interpret)
+    dz1 = jnp.transpose(dz1t, (2, 0, 1, 3))
+    dk2 = _dk_from_mats(dm, ds).astype(k2.dtype)
+    return dz1, dk2, db2.reshape(F).astype(b2.dtype)
+
+
+def reference_stage1_tail(z1, k2, b2):
+    """jnp reference for fused_stage1_tail (same packed semantics via
+    ops/packed_stem): relu -> packed conv1_2 -> pool_pairs -> +b2 -> relu."""
+    from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
+        pack_stem_conv2, pool_pairs,
+    )
+    dt = z1.dtype
+    y = jax.nn.relu(z1)
+    z2 = lax.conv_general_dilated(
+        y, pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.nn.relu(pool_pairs(z2) + b2.astype(dt))
+
+
+fused_stage1_tail.defvjp(
+    lambda z1, k2, b2, interpret: _fused_fwd(z1, k2, b2, interpret),
+    _fused_bwd)

@@ -72,7 +72,7 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
 
 def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
                      augment_fn: AugmentFn | None, axis: str | None,
-                     remat: bool = False):
+                     remat: bool = False, with_metrics: bool = True):
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis is not None:
         # decorrelate augmentation/dropout across shards
@@ -101,16 +101,23 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
 
     new_state = state.apply_gradients(grads, batch_stats=new_stats)
 
-    preds = jnp.argmax(logits, axis=-1)
-    cm = confusion_matrix(batch["label"], preds, num_classes, batch.get("valid"))
-    if axis is not None:
-        cm = lax.psum(cm, axis)
-    return new_state, {"loss": loss, "cm": cm}
+    out = {"loss": loss}
+    if with_metrics:
+        # train-time confusion matrix (mIoU/pixel-acc). Optional: the
+        # reference's train loop prints loss only (SURVEY.md §3.1); the
+        # full-res argmax + count costs ~2-3 ms/step at KITTI batch 16.
+        preds = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix(batch["label"], preds, num_classes,
+                              batch.get("valid"))
+        if axis is not None:
+            cm = lax.psum(cm, axis)
+        out["cm"] = cm
+    return new_state, out
 
 
 def make_train_step(num_classes: int, mesh: Mesh | None = None,
                     augment_fn: AugmentFn | None = None,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False, with_metrics: bool = True) -> Callable:
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
     * no mesh: plain single-device jit.
@@ -125,7 +132,8 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
     """
     if mesh is None:
         body = partial(_train_step_body, num_classes=num_classes,
-                       augment_fn=augment_fn, axis=None, remat=remat)
+                       augment_fn=augment_fn, axis=None, remat=remat,
+                       with_metrics=with_metrics)
         return jax.jit(body, donate_argnums=(0,))
 
     if SPATIAL_AXIS in mesh.axis_names:
@@ -134,7 +142,8 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
         # (Random *crop* augmentation would force H gathers here — use
         # flip/normalize-only augment with spatial sharding.)
         body = partial(_train_step_body, num_classes=num_classes,
-                       augment_fn=augment_fn, axis=None, remat=remat)
+                       augment_fn=augment_fn, axis=None, remat=remat,
+                       with_metrics=with_metrics)
         bspec = NamedSharding(mesh, batch_spec(mesh))
         repl = NamedSharding(mesh, P())
         return jax.jit(
@@ -145,7 +154,8 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
         )
 
     body = partial(_train_step_body, num_classes=num_classes,
-                   augment_fn=augment_fn, axis=DATA_AXIS, remat=remat)
+                   augment_fn=augment_fn, axis=DATA_AXIS, remat=remat,
+                   with_metrics=with_metrics)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),

@@ -219,3 +219,73 @@ def test_odd_width_raises():
     with pytest.raises(ValueError):
         # VGG16 falls back for odd sizes; the raw module refuses
         mod.apply(v, jnp.zeros((1, 8, 11, 3)))
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas stage1 tail (ops/pallas/stage1.py)
+# ---------------------------------------------------------------------------
+
+def _fused_and_ref():
+    from semanticsegmentation_tensorflow_tpu.ops.pallas.stage1 import (
+        fused_stage1_tail, reference_stage1_tail,
+    )
+    return fused_stage1_tail, reference_stage1_tail
+
+
+def test_fused_stage1_tail_matches_reference():
+    fused, ref = _fused_and_ref()
+    rng = np.random.default_rng(0)
+    z1 = jnp.asarray(rng.normal(size=(2, 8, 16, 128)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)), jnp.float32) * 0.1
+    b2 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
+
+    out = fused(z1, k2, b2, True)
+    expect = ref(z1, k2, b2)
+    assert out.shape == (2, 4, 16, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    cot = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.vdot(fused(*a, True), cot), (0, 1, 2))(
+        z1, k2, b2)
+    g2 = jax.grad(lambda *a: jnp.vdot(ref(*a), cot), (0, 1, 2))(z1, k2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_stage1_tail_exact_routing_with_ties():
+    """Integer-valued inputs make the conv sums exact in every impl, so the
+    pooled values AND the first-max-wins routing (gradients) must be
+    bit-identical to the jnp packed path — including deliberate ties."""
+    fused, ref = _fused_and_ref()
+    rng = np.random.default_rng(1)
+    # small integers: conv of 3x3x64 ints in [-2,2] stays well inside exact
+    # f32/bf16-accumulated range
+    z1 = jnp.asarray(rng.integers(-2, 3, (1, 6, 8, 128)), jnp.float32)
+    # rank-deficient kernel with repeated taps -> many exact pooling ties
+    k2 = jnp.asarray(rng.integers(-1, 2, (3, 3, 64, 64)), jnp.float32)
+    k2 = k2.at[1].set(k2[0])
+    b2 = jnp.zeros((64,), jnp.float32)
+
+    np.testing.assert_array_equal(np.asarray(fused(z1, k2, b2, True)),
+                                  np.asarray(ref(z1, k2, b2)))
+    # integer cotangent: every product/sum in the backward is then exact in
+    # f32, so any difference would be a genuine routing (tie) divergence
+    cot = jnp.asarray(rng.integers(-3, 4, (1, 3, 8, 64)), jnp.float32)
+    g1 = jax.grad(lambda z: jnp.vdot(fused(z, k2, b2, True), cot))(z1)
+    g2 = jax.grad(lambda z: jnp.vdot(ref(z, k2, b2), cot))(z1)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_fused_stage1_tail_batch_tiling():
+    """N that doesn't tile evenly into the width budget still works (the
+    wrapper picks a divisor tile)."""
+    fused, ref = _fused_and_ref()
+    rng = np.random.default_rng(2)
+    z1 = jnp.asarray(rng.normal(size=(3, 4, 10, 128)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)), jnp.float32) * 0.1
+    b2 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
+    np.testing.assert_allclose(np.asarray(fused(z1, k2, b2, True)),
+                               np.asarray(ref(z1, k2, b2)),
+                               rtol=1e-5, atol=1e-5)
