@@ -68,14 +68,35 @@ def main() -> None:
     hbm_batch = {"image": images, "label": labels}
 
     # Roofline denominator: FLOPs of the CANONICAL (unpacked) step — the
-    # reference's semantic workload. Lowered only (no compile/execute).
-    canon = FCN8s(num_classes=2, fc_features=fc, packed_stage1=False)
-    canon_state = create_train_state(canon, jax.random.key(0),
-                                     (batch, h, w, 3), tx)
-    canon_cost = (jax.jit(lambda s, b: step(s, b))
-                  .lower(canon_state, hbm_batch).compile().cost_analysis())
-    flops = float((canon_cost or {}).get("flops", 0.0))
-    del canon_state
+    # reference's semantic workload. This is a pure function of the config,
+    # and computing it costs a full extra XLA compile (minutes through the
+    # tunneled remote-compile service), so it is cached in a committed JSON
+    # beside the other benchmark artifacts; delete the entry (or the file)
+    # to force a recount.
+    import os
+    flops_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "canonical_flops.json")
+    flops_key = f"fcn8s-b{batch}-{h}x{w}-fc{fc}-nc2"
+    try:
+        with open(flops_path) as f:
+            flops = float(json.load(f)[flops_key])
+    except (OSError, KeyError, ValueError):
+        canon = FCN8s(num_classes=2, fc_features=fc, packed_stage1=False)
+        canon_state = create_train_state(canon, jax.random.key(0),
+                                         (batch, h, w, 3), tx)
+        canon_cost = (jax.jit(lambda s, b: step(s, b))
+                      .lower(canon_state, hbm_batch).compile().cost_analysis())
+        flops = float((canon_cost or {}).get("flops", 0.0))
+        del canon_state
+        if flops > 0:
+            try:
+                with open(flops_path) as f:
+                    cache = json.load(f)
+            except (OSError, ValueError):
+                cache = {}
+            cache[flops_key] = flops
+            with open(flops_path, "w") as f:
+                json.dump(cache, f, indent=2)
 
     # The production model: packed stage1 + Pallas pool (auto on TPU).
     model = FCN8s(num_classes=2, fc_features=fc)

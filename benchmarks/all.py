@@ -102,6 +102,52 @@ def bench_infer(batch: int, steps: int) -> dict:
             "ms_per_image_e2e": round(dt_e2e / steps / batch * 1000, 2)}
 
 
+def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
+    """The reference's test sweep (SURVEY.md §3.2): read PNGs from disk,
+    forward, write overlay PNGs to runs/<ts>/. Exercises the full pipelined
+    save_inference_samples path — decode prefetch thread, batched device
+    forward, fastpng writer pool — and reports wall-clock images/sec."""
+    import shutil
+
+    from PIL import Image
+
+    from semanticsegmentation_tensorflow_tpu.infer import (
+        Predictor, save_inference_samples,
+    )
+    from semanticsegmentation_tensorflow_tpu.models import FCN8s
+
+    model = FCN8s(num_classes=2)
+    x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
+    vs = model.init(jax.random.key(0), x, train=False)
+    pred = Predictor(model, vs, (375, 1242))
+
+    src_dir = os.path.join(tmp_root, "sweep_src")
+    runs_dir = os.path.join(tmp_root, "sweep_runs")
+    os.makedirs(src_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_images):
+        p = os.path.join(src_dir, f"um_{i:06d}.png")
+        Image.fromarray(rng.integers(0, 256, (375, 1242, 3)
+                                     ).astype(np.uint8)).save(p)
+        paths.append(p)
+
+    # compile outside the timed region (first batch compiles the fwd)
+    list(save_inference_samples(pred, paths[:batch], runs_dir=runs_dir,
+                                batch_size=batch))
+    t0 = time.perf_counter()
+    n_done = sum(1 for _ in save_inference_samples(
+        pred, paths, runs_dir=runs_dir, batch_size=batch))
+    dt = time.perf_counter() - t0
+    assert n_done == n_images
+    shutil.rmtree(src_dir)
+    shutil.rmtree(runs_dir)
+    return {"name": f"fcn8s_sweep_b{batch}", "batch": batch,
+            "n_images": n_images,
+            "images_per_sec_e2e": round(n_images / dt, 2),
+            "ms_per_image_e2e": round(dt / n_images * 1000, 2)}
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="fewer steps")
@@ -125,6 +171,12 @@ def main() -> int:
         r = bench_infer(bs, steps)
         print(r)
         results.append(r)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        r = bench_sweep(16 if args.quick else 64, 8, td)
+    print(r)
+    results.append(r)
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")

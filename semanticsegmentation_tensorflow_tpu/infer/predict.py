@@ -50,14 +50,39 @@ class Predictor:
         else:
             overlay_fn = argmax_colormap_overlay
 
-        def fwd(image_u8: jax.Array) -> tuple[jax.Array, jax.Array]:
+        def logits_fn(variables, image_u8: jax.Array) -> jax.Array:
             x = normalize_images(image_u8, mean, std)
             x = pad_to_multiple(x, stride)
             logits = model.apply(variables, x, train=False)
-            logits = crop_to(logits, *image_size)
-            return overlay_fn(image_u8, logits, palette, alpha)
+            return crop_to(logits, *image_size)
 
-        self._fwd = jax.jit(fwd)
+        def fwd(variables, image_u8):
+            return overlay_fn(image_u8, logits_fn(variables, image_u8),
+                              palette, alpha)
+
+        def fwd_labels(variables, image_u8: jax.Array) -> jax.Array:
+            # u8 label map only — 12x less device->host traffic than the
+            # overlay; the sweep path rebuilds the overlay on host
+            # (ops.overlay.host_overlay) from the image it already decoded
+            return jnp.argmax(logits_fn(variables, image_u8),
+                              axis=-1).astype(jnp.uint8)
+
+        # variables are a jit ARGUMENT, not a closure capture: captured
+        # arrays become HLO constants, which baked all 135M fc4096 params
+        # into the executable (353MB serialized, minutes of extra XLA
+        # constant-handling at compile — measured) and defeated the
+        # persistent compile cache
+        self._variables = jax.device_put(variables)
+        self._jfwd = jax.jit(fwd)
+        self._jfwd_labels = jax.jit(fwd_labels)
+        self._palette = np.asarray(overlay_palette)
+        self._alpha = alpha
+
+    def _fwd(self, image_u8):
+        return self._jfwd(self._variables, image_u8)
+
+    def _fwd_labels(self, image_u8):
+        return self._jfwd_labels(self._variables, image_u8)
 
     def __call__(self, image_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """[H,W,3] or [N,H,W,3] uint8 -> (overlay u8, labels i32), same rank."""
@@ -74,22 +99,40 @@ class Predictor:
 
 def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
                            runs_dir: str = "runs", prefetch: int = 2,
-                           batch_size: int = 1,
+                           batch_size: int = 1, writers: int = 2,
                            ) -> Iterator[tuple[str, str]]:
     """Run the test sweep; writes overlay PNGs to runs/<timestamp>/.
 
     Yields (image_path, output_path) as each file lands (streaming, like the
-    reference's generator, SURVEY.md §3.2) — but with the host PNG decode
-    running in a prefetch thread so it overlaps the device forward pass
-    instead of serializing with it. ``batch_size`` > 1 batches the device
-    forward (the reference runs 1 image at a time; batch 8 is ~2x device
-    throughput — benchmarks/results.json). A short final batch is padded by
-    repetition and the padding discarded, so the compiled shape is stable.
+    reference's generator, SURVEY.md §3.2), with the three pipeline legs
+    overlapped:
+
+      * host PNG decode + the host->device upload run in a prefetch thread
+        ahead of the device (the producer batches and ``device_put``s, so
+        the upload of batch n+1 overlaps the compute/fetch of batch n; a
+        ragged final batch is padded by repetition so the compiled shape is
+        stable);
+      * the device forward is batched (``batch_size`` > 1; the reference
+        runs 1 image at a time — batch 8 is ~2x device throughput,
+        benchmarks/results.json) and returns only the u8 LABEL MAP — 12x
+        less device->host traffic than fetching rendered overlays, which
+        matters on PCIe and dominates on this tunneled dev chip (measured
+        ~11/17 MB/s up/down);
+      * overlay compositing (ops.overlay.host_overlay, same blend math as
+        the device op), PNG encode via the vectorized sub-filter encoder
+        (utils/fastpng.py, ~7x PIL — encode was 97% of the round-1 sweep),
+        and the file write all run on a small writer pool. zlib releases
+        the GIL, so writers overlap the device fetch.
+
+    Results are yielded in input order once their file is on disk; writer
+    errors surface on the yield of the failed file.
     """
     import queue
     import threading
+    from concurrent.futures import ThreadPoolExecutor
 
-    from PIL import Image
+    from semanticsegmentation_tensorflow_tpu.ops.overlay import host_overlay
+    from semanticsegmentation_tensorflow_tpu.utils.fastpng import write_png
 
     out_dir = os.path.join(runs_dir, time.strftime("%Y%m%d-%H%M%S"))
     os.makedirs(out_dir, exist_ok=True)
@@ -98,35 +141,57 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
 
     def producer() -> None:
         try:
+            batch: list[tuple[str, np.ndarray]] = []
+
+            def ship() -> None:
+                imgs = np.stack([im for _, im in batch])
+                n_real = len(batch)
+                if n_real < batch_size:  # pad ragged tail to compiled shape
+                    imgs = np.concatenate(
+                        [imgs,
+                         np.repeat(imgs[-1:], batch_size - n_real, axis=0)])
+                q.put(([p for p, _ in batch], imgs, jax.device_put(imgs)))
+                batch.clear()
+
             for p in image_paths:
-                q.put((p, load_image(p, predictor.image_size)))
+                batch.append((p, load_image(p, predictor.image_size)))
+                if len(batch) == batch_size:
+                    ship()
+            if batch:
+                ship()
             q.put(None)
         except BaseException as e:  # propagate decode errors to the consumer
             q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
 
-    pending: list[tuple[str, np.ndarray]] = []
-    done = False
-    while not done:
-        item = q.get()
-        if item is None:
-            done = True
-        elif isinstance(item, BaseException):
-            raise item
-        else:
-            pending.append(item)
-        if not pending or (len(pending) < batch_size and not done):
-            continue
-        names = [p for p, _ in pending]
-        imgs = np.stack([im for _, im in pending])
-        n_real = len(names)
-        if n_real < batch_size:  # pad the ragged tail to the compiled shape
-            imgs = np.concatenate(
-                [imgs, np.repeat(imgs[-1:], batch_size - n_real, axis=0)])
-        overlays, _ = predictor(imgs)
-        for i in range(n_real):
-            out_path = os.path.join(out_dir, os.path.basename(names[i]))
-            Image.fromarray(overlays[i]).save(out_path)
-            yield names[i], out_path
-        pending = []
+    with ThreadPoolExecutor(max_workers=max(1, writers)) as pool:
+        futures: list[tuple[str, str, object]] = []
+
+        def render(img: np.ndarray, labels: np.ndarray, path: str) -> None:
+            write_png(path, host_overlay(img, labels, predictor._palette,
+                                         predictor._alpha))
+
+        def flush(all_of_them: bool) -> Iterator[tuple[str, str]]:
+            # yield in submission order; keep at most one batch in flight
+            keep = 0 if all_of_them else batch_size
+            while len(futures) > keep:
+                src, dst, fut = futures.pop(0)
+                fut.result()
+                yield src, dst
+
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            names, imgs, dev = item
+            labels = np.asarray(predictor._fwd_labels(dev))
+            for i in range(len(names)):
+                out_path = os.path.join(out_dir, os.path.basename(names[i]))
+                futures.append(
+                    (names[i], out_path,
+                     pool.submit(render, imgs[i], labels[i], out_path)))
+            yield from flush(all_of_them=False)
+        yield from flush(all_of_them=True)

@@ -44,3 +44,23 @@ def argmax_colormap_overlay(
         keep = (labels == 0)[..., None]
         blended = jnp.where(keep, img, blended)
     return jnp.clip(blended, 0, 255).astype(jnp.uint8), labels
+
+
+def host_overlay(image_u8, labels_u8, palette, alpha: float = 0.5,
+                 blend_class0: bool = False):
+    """Numpy mirror of the blend in :func:`argmax_colormap_overlay`.
+
+    Used by the sweep path, which downloads only the u8 label map (12x
+    smaller than the overlay — the label map is all the device computed
+    anyway) and rebuilds the overlay from the source image already in host
+    RAM. Same f32 arithmetic as the device op; tests pin it equal to the
+    device path within +-1 u8 count (FMA contraction may round once).
+    """
+    import numpy as np
+
+    img = image_u8.astype(np.float32)
+    colors = palette.astype(np.float32)[labels_u8]
+    blended = img * (1.0 - alpha) + colors * alpha
+    if not blend_class0:
+        blended = np.where((labels_u8 == 0)[..., None], img, blended)
+    return np.clip(blended, 0, 255).astype(np.uint8)

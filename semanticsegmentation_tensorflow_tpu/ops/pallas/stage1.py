@@ -151,67 +151,87 @@ def _dotT(a: jax.Array, b: jax.Array) -> jax.Array:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(z0, z1r, z2, z3, mw, sw, b2, out, codes):
-    """Grid (Hp, N/nt). Inputs: 4 one-row HWNC blocks of the pre-relu
-    conv1_1 output (rows 2p-1 .. 2p+2, edge-clamped), the packed tap
-    matrices, the bias. Outputs: pooled+bias+relu row [1,W,nt,F] bf16 and
-    the 2-bit routing code (u8) for the backward."""
+def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes):
+    """Grid (Hp/K, N/nt). Inputs: the pre-relu conv1_1 rows for K pool
+    rows — a [2K,...] center block plus 1-row top/bottom halo blocks
+    (edge-clamped) — and the packed tap matrices + bias. Outputs: K
+    pooled+bias+relu rows [K,W,nt,F] bf16 and the 2-bit routing codes (u8)
+    for the backward. Blocking K pool rows per program cuts the halo read
+    amplification from 2x (one-row programs) to (2K+2)/2K."""
     p = pl.program_id(0)
-    np_ = pl.num_programs(0)
-    dt = z1r.dtype
-
+    npr = pl.num_programs(0)
+    dt = ycen.dtype
+    k2r = ycen.shape[0]                     # 2K conv rows
     top_ok = (p > 0).astype(dt)
-    bot_ok = (p < np_ - 1).astype(dt)
-    rows = (
-        jnp.maximum(z0[0], 0) * top_ok,   # relu(z1[2p-1]), zero at top edge
-        jnp.maximum(z1r[0], 0),
-        jnp.maximum(z2[0], 0),
-        jnp.maximum(z3[0], 0) * bot_ok,
-    )
-    qs = tuple(_build_q(r) for r in rows)
+    bot_ok = (p < npr - 1).astype(dt)
 
-    # conv rows 2p and 2p+1: z[h] = sum_dy y[h+dy-1] @ M[dy] + Q @ S[dy]
-    def conv_row(base):
-        acc = _dot(rows[base], mw[0]) + _dot(qs[base], sw[0])
-        acc += _dot(rows[base + 1], mw[1]) + _dot(qs[base + 1], sw[1])
-        acc += _dot(rows[base + 2], mw[2]) + _dot(qs[base + 2], sw[2])
-        return acc.astype(dt)               # bf16, like the XLA conv output
+    def load(i):                            # local conv-input row -1..2K
+        if i < 0:
+            r = jnp.maximum(ytop[0], 0) * top_ok
+        elif i >= k2r:
+            r = jnp.maximum(ybot[0], 0) * bot_ok
+        else:
+            r = jnp.maximum(ycen[i], 0)
+        return r, _build_q(r)
 
-    za = conv_row(0)                        # conv row 2p
-    zb = conv_row(1)                        # conv row 2p+1
+    win: dict[int, tuple] = {}
+    for k in range(k2r // 2):
+        for i in range(2 * k - 1, 2 * k + 3):
+            if i not in win:
+                win[i] = load(i)
 
-    # comparisons in f32 (Mosaic on this stack rejects sub-32-bit compares;
-    # f32 equality of exact bf16 values is identical — see ops/pallas/pool.py)
-    v00 = za[..., :F].astype(jnp.float32)
-    v01 = za[..., F:].astype(jnp.float32)
-    v10 = zb[..., :F].astype(jnp.float32)
-    v11 = zb[..., F:].astype(jnp.float32)
-    m = jnp.maximum(jnp.maximum(v00, v01), jnp.maximum(v10, v11))
-    # first-max-wins in (dy, dx) row-major window order — exactly XLA
-    # select_and_scatter / TF MaxPoolGrad tie semantics, on the bf16 values
-    w0 = v00 == m
-    w1 = (v01 == m) & ~w0
-    w2 = (v10 == m) & ~(w0 | w1)
-    w3 = ~(w0 | w1 | w2)
-    code = (w1.astype(jnp.int32) + 2 * w2.astype(jnp.int32)
-            + 3 * w3.astype(jnp.int32))
-    codes[0] = code.astype(jnp.uint8)
-    out[0] = jnp.maximum(m.astype(dt) + b2[0], 0)
+        # conv row h: z[h] = sum_dy y[h+dy-1] @ M[dy] + Q[h+dy-1] @ S[dy]
+        def conv_row(h):
+            acc = None
+            for dy in range(3):
+                r, q = win[h + dy - 1]
+                t = _dot(r, mw[dy]) + _dot(q, sw[dy])
+                acc = t if acc is None else acc + t
+            return acc.astype(dt)           # bf16, like the XLA conv output
+
+        za = conv_row(2 * k)
+        zb = conv_row(2 * k + 1)
+
+        # comparisons in f32 (Mosaic on this stack rejects sub-32-bit
+        # compares; f32 equality of exact bf16 values is identical — see
+        # ops/pallas/pool.py)
+        v00 = za[..., :F].astype(jnp.float32)
+        v01 = za[..., F:].astype(jnp.float32)
+        v10 = zb[..., :F].astype(jnp.float32)
+        v11 = zb[..., F:].astype(jnp.float32)
+        m = jnp.maximum(jnp.maximum(v00, v01), jnp.maximum(v10, v11))
+        # first-max-wins in (dy, dx) row-major window order — exactly XLA
+        # select_and_scatter / TF MaxPoolGrad tie semantics, on bf16 values
+        w0 = v00 == m
+        w1 = (v01 == m) & ~w0
+        w2 = (v10 == m) & ~(w0 | w1)
+        w3 = ~(w0 | w1 | w2)
+        code = (w1.astype(jnp.int32) + 2 * w2.astype(jnp.int32)
+                + 3 * w3.astype(jnp.int32))
+        codes[k] = code.astype(jnp.uint8)
+        out[k] = jnp.maximum(m.astype(dt) + b2[0], 0)
+
+        for i in list(win):                 # slide the row window
+            if i < 2 * k + 1:
+                del win[i]
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(g0, g1, g2, o0, o1, o2, c0, c1, c2, z0, z1r, z2, z3,
-                mwt, swt, dz1, dm, ds, db2):
-    """Grid (Hp, N/nt). Inputs: grad/out/codes pool rows p-1..p+1 and the
-    pre-relu conv1_1 rows 2p-1..2p+2. Outputs: dz1 rows [2,W,nt,2F]
-    (pre-relu conv1_1 grad), and f32 accumulators dM/dS/db2 (constant
-    block, zeroed on the first program, written back once at the end)."""
+def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
+                ztop, zcen, zbot, mwt, swt, dz1, dm, ds, db2):
+    """Grid (Hp/K, N/nt). Inputs: grad/out/codes for pool rows Kp-1..Kp+K
+    (a [K,...] center block + 1-row halos) and the pre-relu conv1_1 rows
+    2Kp-1..2Kp+2K (a [2K,...] center block + halos). Outputs: dz1 rows
+    [2K,W,nt,2F] (pre-relu conv1_1 grad) and f32 accumulators dM/dS/db2
+    (constant block, zeroed on the first program, written back at the
+    end). The halo dz rows are rebuilt by the neighbour programs too — a
+    couple of redundant VPU selects buy non-overlapping output blocks."""
     p = pl.program_id(0)
     nb = pl.program_id(1)
-    np_ = pl.num_programs(0)
+    npr = pl.num_programs(0)
 
     @pl.when((p == 0) & (nb == 0))
     def _():
@@ -219,86 +239,98 @@ def _bwd_kernel(g0, g1, g2, o0, o1, o2, c0, c1, c2, z0, z1r, z2, z3,
         ds[...] = jnp.zeros_like(ds)
         db2[...] = jnp.zeros_like(db2)
 
-    dt = z1r.dtype
+    dt = zcen.dtype
+    kk = gcen.shape[0]                      # K pool rows
     top_ok = (p > 0).astype(dt)
-    bot_ok = (p < np_ - 1).astype(dt)
+    bot_ok = (p < npr - 1).astype(dt)
 
-    def grelu(g, o, ok):
+    def grelu(q):                           # local pool row -1..K
         # relu mask compared in f32 (no sub-32-bit compares on this stack)
-        r = jnp.where(o[0].astype(jnp.float32) > 0, g[0], jnp.zeros_like(g[0]))
-        return r * ok
+        if q < 0:
+            g, o, ok = gtop[0], otop[0], top_ok
+        elif q >= kk:
+            g, o, ok = gbot[0], obot[0], bot_ok
+        else:
+            g, o, ok = gcen[q], ocen[q], None
+        r = jnp.where(o.astype(jnp.float32) > 0, g, jnp.zeros_like(g))
+        return r if ok is None else r * ok
 
-    one = jnp.ones((), dt)
-    gr_prev = grelu(g0, o0, top_ok)
-    gr_mid = grelu(g1, o1, one)
-    gr_next = grelu(g2, o2, bot_ok)
+    def code_row(q):
+        return (ctop[0] if q < 0 else cbot[0] if q >= kk
+                else ccen[q]).astype(jnp.int32)
 
-    def route(gr, code, a):
-        """Scatter pooled grad gr [W,nt,F] into conv row 2q+a [W,nt,2F]."""
+    def make_dz(h):                         # local conv row -1..2K
+        """Scatter pooled grad into conv row h = 2q + a via the code."""
+        q, a = h >> 1, h & 1
+        gr = grelu(q)
         gfull = jnp.concatenate([gr, gr], axis=-1)
-        cfull = jnp.concatenate([code[0], code[0]], axis=-1).astype(jnp.int32)
+        cfull = jnp.concatenate([code_row(q)] * 2, axis=-1)
         tgt = 2 * a + (_lane_iota(gfull.shape) >= F).astype(jnp.int32)
         return jnp.where(cfull == tgt, gfull,
                          jnp.zeros_like(gfull)).astype(dt)
 
-    # dz rows 2p-1 .. 2p+2 (the two outer rows are rebuilt here and also by
-    # the neighbour programs — 2 redundant VPU selects buy non-overlapping
-    # dz1 output blocks)
-    dza = (route(gr_prev, c0, 1), route(gr_mid, c1, 0),
-           route(gr_mid, c1, 1), route(gr_next, c2, 0))
-
-    rows = (
-        jnp.maximum(z0[0], 0) * top_ok,
-        jnp.maximum(z1r[0], 0),
-        jnp.maximum(z2[0], 0),
-        jnp.maximum(z3[0], 0) * bot_ok,
-    )
-    qs = tuple(_build_q(r) for r in rows)
+    def make_yq(i):                         # local conv-input row -1..2K
+        if i < 0:
+            r = jnp.maximum(ztop[0], 0) * top_ok
+        elif i >= 2 * kk:
+            r = jnp.maximum(zbot[0], 0) * bot_ok
+        else:
+            r = jnp.maximum(zcen[i], 0)
+        return r, _build_q(r)
 
     # input grad: dy[h] = sum_dy dz[h+1-dy] @ M[dy]^T + Q-inverse of
     # dQ[h] = sum_dy dz[h+1-dy] @ S[dy]^T
-    def igrad_row(i):                       # i: 1 -> row 2p, 2 -> row 2p+1
-        dy = _dot(dza[i + 1], mwt[0]) + _dot(dza[i], mwt[1]) \
-            + _dot(dza[i - 1], mwt[2])
-        dq = _dot(dza[i + 1], swt[0]) + _dot(dza[i], swt[1]) \
-            + _dot(dza[i - 1], swt[2])
+    def igrad_row(dz3):                     # dz rows (h-1, h, h+1)
+        dy = (_dot(dz3[2], mwt[0]) + _dot(dz3[1], mwt[1])
+              + _dot(dz3[0], mwt[2]))
+        dq = (_dot(dz3[2], swt[0]) + _dot(dz3[1], swt[1])
+              + _dot(dz3[0], swt[2]))
         # dQ[X, :F] belongs to B[X-1] -> shift down; dQ[X, F:] to A[X+1]
         w = dq.shape[0]
         lanes = _lane_iota(dq.shape)
         wi = _w_iota(dq.shape)
-        dqb = _roll(dq, w - 1, axis=0)       # dQ[X+1] -> position X (for B)
-        dqa = _roll(dq, 1, axis=0)           # dQ[X-1] -> position X (for A)
+        dqb = _roll(dq, w - 1, axis=0)      # dQ[X+1] -> position X (for B)
+        dqa = _roll(dq, 1, axis=0)          # dQ[X-1] -> position X (for A)
         z = jnp.zeros_like(dq)
         side = jnp.where(lanes < F,
                          jnp.where(wi > 0, _half_swap(dqa), z),
                          jnp.where(wi < w - 1, _half_swap(dqb), z))
         return dy + side
 
-    # relu mask of the pre-relu conv1_1 rows (compares in f32)
-    def masked(v, zrow):
-        return jnp.where(zrow.astype(jnp.float32) > 0, v,
-                         jnp.zeros_like(v)).astype(dt)
+    acc_dm = [dm[t] for t in range(3)]
+    acc_ds = [ds[t] for t in range(3)]
+    dzw: dict[int, jax.Array] = {}
+    yqw: dict[int, tuple] = {}
+    for h in range(2 * kk):                 # local conv row = dz1 row
+        for i in (h - 1, h, h + 1):
+            if i not in dzw:
+                dzw[i] = make_dz(i)
+            if i not in yqw:
+                yqw[i] = make_yq(i)
+        # relu mask of the pre-relu conv1_1 row (compares in f32)
+        dy = igrad_row((dzw[h - 1], dzw[h], dzw[h + 1]))
+        dz1[h] = jnp.where(zcen[h].astype(jnp.float32) > 0, dy,
+                           jnp.zeros_like(dy)).astype(dt)
+        # kernel grad: dM[dy] += y[h+dy-1]^T @ dz[h], dS[dy] += Q^T @ dz[h]
+        for t in range(3):
+            r, q = yqw[h + t - 1]
+            acc_dm[t] = acc_dm[t] + _dotT(r, dzw[h])
+            acc_ds[t] = acc_ds[t] + _dotT(q, dzw[h])
+        for i in list(dzw):                 # slide the windows
+            if i < h:
+                del dzw[i]
+                del yqw[i]
 
-    dz1[0] = masked(igrad_row(1), z1r[0])
-    dz1[1] = masked(igrad_row(2), z2[0])
-
-    # kernel grad: dM[dy] += y[h+dy-1]^T @ dz[h], dS[dy] += Q^T @ dz[h]
-    # for h in {2p, 2p+1} (dz rows 1, 2)
-    new_dm = [None] * 3
-    new_ds = [None] * 3
-    for dy_tap in range(3):
-        new_dm[dy_tap] = (dm[dy_tap]
-                          + _dotT(rows[dy_tap], dza[1])
-                          + _dotT(rows[dy_tap + 1], dza[2]))
-        new_ds[dy_tap] = (ds[dy_tap]
-                          + _dotT(qs[dy_tap], dza[1])
-                          + _dotT(qs[dy_tap + 1], dza[2]))
-    for dy_tap in range(3):
-        dm[dy_tap] = new_dm[dy_tap]
-        ds[dy_tap] = new_ds[dy_tap]
-    w, nt, _ = gr_mid.shape
-    db2[...] = db2[...] + jnp.sum(
-        gr_mid.astype(jnp.float32).reshape(w * nt, F), axis=0, keepdims=True)
+    for t in range(3):
+        dm[t] = acc_dm[t]
+        ds[t] = acc_ds[t]
+    gsum = None
+    for q in range(kk):                     # db2 over the CENTER pool rows
+        gr = grelu(q).astype(jnp.float32)
+        w, nt, _ = gr.shape
+        s = jnp.sum(gr.reshape(w * nt, F), axis=0, keepdims=True)
+        gsum = s if gsum is None else gsum + s
+    db2[...] = db2[...] + gsum
 
 
 # ---------------------------------------------------------------------------
@@ -317,10 +349,25 @@ def _pick_nt(n: int, w: int, budget: int) -> int:
     return max(fitting) if fitting else min(valid)
 
 
-def _row_spec(w, nt, c, row_of_p):
-    return pl.BlockSpec((1, w, nt, c),
-                        lambda p, b, _r=row_of_p: (_r(p), 0, b, 0),
-                        memory_space=pltpu.VMEM)
+def _pick_k(hp: int, max_k: int = 4) -> int:
+    """Pool rows per program: largest power of two <= max_k dividing Hp.
+
+    Two measured constraints pick the caps. VMEM: the bwd holds ~3x the
+    blocks of the fwd (grad/out/code halos + the 2K-row dz1 output + f32
+    dot intermediates); at bench shapes bwd K=8 requests 269MB and K=4
+    150MB of the 128MB physical VMEM (compile failures), so bwd caps at 2.
+    Mosaic compile time: the fully unrolled body compiles in 16s (K=2),
+    43s (K=4), 141s (K=8) through this remote-compile service; K=8's
+    extra read-amp saving over K=4 is ~0.5ms/step (<0.5%), not worth
+    +100s on every cold compile, so the fwd caps at 4."""
+    k = 1
+    while k * 2 <= max_k and hp % (k * 2) == 0:
+        k *= 2
+    return k
+
+
+def _spec(shape, index_map):
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
 
 def _const_spec(shape):
@@ -329,34 +376,38 @@ def _const_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _halo_specs(w, nt, c, nrows, total_rows):
+    """(top, center, bottom) specs: a [nrows,...] center block at index p
+    plus 1-row halo blocks at global rows nrows*p-1 / nrows*(p+1), clamped
+    at the edges (the kernels mask the clamped rows out)."""
+    top = _spec((1, w, nt, c),
+                lambda p, b: (jnp.maximum(nrows * p - 1, 0), 0, b, 0))
+    cen = _spec((nrows, w, nt, c), lambda p, b: (p, 0, b, 0))
+    bot = _spec((1, w, nt, c),
+                lambda p, b: (jnp.minimum(nrows * (p + 1), total_rows - 1),
+                              0, b, 0))
+    return top, cen, bot
+
+
 def _fwd_call(z1t, mw, sw, b2, *, nt, interpret):
     h, w, n, c = z1t.shape
     hp = h // 2
-    grid = (hp, n // nt)
+    k = _pick_k(hp)  # fwd: max_k=4 default
+    grid = (hp // k, n // nt)
 
-    def clamp(f):
-        return lambda p: jnp.clip(f(p), 0, h - 1)
-
-    in_specs = [
-        _row_spec(w, nt, c, clamp(lambda p: 2 * p - 1)),
-        _row_spec(w, nt, c, lambda p: 2 * p),
-        _row_spec(w, nt, c, lambda p: 2 * p + 1),
-        _row_spec(w, nt, c, clamp(lambda p: 2 * p + 2)),
-        _const_spec((3, c, c)),
-        _const_spec((3, c, c)),
-        _const_spec((1, F)),
-    ]
+    ytop, ycen, ybot = _halo_specs(w, nt, c, 2 * k, h)
+    in_specs = [ytop, ycen, ybot,
+                _const_spec((3, c, c)), _const_spec((3, c, c)),
+                _const_spec((1, F))]
     out_specs = [
-        pl.BlockSpec((1, w, nt, F), lambda p, b: (p, 0, b, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, w, nt, F), lambda p, b: (p, 0, b, 0),
-                     memory_space=pltpu.VMEM),
+        _spec((k, w, nt, F), lambda p, b: (p, 0, b, 0)),
+        _spec((k, w, nt, F), lambda p, b: (p, 0, b, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((hp, w, n, F), z1t.dtype),
         jax.ShapeDtypeStruct((hp, w, n, F), jnp.uint8),
     ]
-    flops = 2 * (12 * w * nt * c * c) * grid[0] * grid[1]
+    flops = 2 * (12 * w * nt * c * c) * hp * (n // nt)
     return pl.pallas_call(
         _fwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
@@ -365,37 +416,21 @@ def _fwd_call(z1t, mw, sw, b2, *, nt, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(z1t, z1t, z1t, z1t, mw, sw, b2.reshape(1, F))
+    )(z1t, z1t, z1t, mw, sw, b2.reshape(1, F))
 
 
 def _bwd_call(gt, ot, ct, z1t, mwt, swt, *, nt, interpret):
     h, w, n, c = z1t.shape
     hp = h // 2
-    grid = (hp, n // nt)
+    k = _pick_k(hp, max_k=2)
+    grid = (hp // k, n // nt)
 
-    def clamp_p(f):
-        return lambda p: jnp.clip(f(p), 0, hp - 1)
-
-    def clamp_h(f):
-        return lambda p: jnp.clip(f(p), 0, h - 1)
-
-    pool_rows = [clamp_p(lambda p: p - 1), lambda p: p, clamp_p(lambda p: p + 1)]
-    in_specs = (
-        [_row_spec(w, nt, F, r) for r in pool_rows]          # g
-        + [_row_spec(w, nt, F, r) for r in pool_rows]        # out
-        + [_row_spec(w, nt, F, r) for r in pool_rows]        # codes
-        + [
-            _row_spec(w, nt, c, clamp_h(lambda p: 2 * p - 1)),
-            _row_spec(w, nt, c, lambda p: 2 * p),
-            _row_spec(w, nt, c, lambda p: 2 * p + 1),
-            _row_spec(w, nt, c, clamp_h(lambda p: 2 * p + 2)),
-            _const_spec((3, c, c)),
-            _const_spec((3, c, c)),
-        ]
-    )
+    gs = _halo_specs(w, nt, F, k, hp)
+    zs = _halo_specs(w, nt, c, 2 * k, h)
+    in_specs = list(gs) + list(gs) + list(gs) + list(zs) + [
+        _const_spec((3, c, c)), _const_spec((3, c, c))]
     out_specs = [
-        pl.BlockSpec((2, w, nt, c), lambda p, b: (p, 0, b, 0),
-                     memory_space=pltpu.VMEM),
+        _spec((2 * k, w, nt, c), lambda p, b: (p, 0, b, 0)),
         _const_spec((3, c, c)),
         _const_spec((3, c, c)),
         _const_spec((1, F)),
@@ -406,7 +441,7 @@ def _bwd_call(gt, ot, ct, z1t, mwt, swt, *, nt, interpret):
         jax.ShapeDtypeStruct((3, c, c), jnp.float32),
         jax.ShapeDtypeStruct((1, F), jnp.float32),
     ]
-    flops = 2 * (24 * w * nt * c * c) * grid[0] * grid[1]
+    flops = 2 * (24 * w * nt * c * c) * hp * (n // nt)
     return pl.pallas_call(
         _bwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
@@ -415,7 +450,7 @@ def _bwd_call(gt, ot, ct, z1t, mwt, swt, *, nt, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(gt, gt, gt, ot, ot, ot, ct, ct, ct, z1t, z1t, z1t, z1t, mwt, swt)
+    )(gt, gt, gt, ot, ot, ot, ct, ct, ct, z1t, z1t, z1t, mwt, swt)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

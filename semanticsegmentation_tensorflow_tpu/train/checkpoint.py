@@ -17,6 +17,26 @@ import orbax.checkpoint as ocp
 from semanticsegmentation_tensorflow_tpu.train.state import TrainState
 
 
+def _abstract_with_sharding(leaf):
+    """Template leaf -> ShapeDtypeStruct WITH sharding.
+
+    Orbax warns (and on a mesh, guesses wrong) when a restore template
+    leaf carries no sharding; concrete arrays know theirs, and abstract
+    ShapeDtypeStructs default to single-device placement. Non-array
+    leaves (python ints, key arrays) pass through for StandardRestore to
+    handle."""
+    if isinstance(leaf, jax.Array):
+        if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            return leaf  # typed PRNG keys restore from the concrete leaf
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+    if isinstance(leaf, jax.ShapeDtypeStruct) and leaf.sharding is None:
+        return jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype,
+            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+    return leaf
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self._mgr = ocp.CheckpointManager(
@@ -50,6 +70,7 @@ class CheckpointManager:
         template = {"step": state.step, "params": state.params,
                     "opt_state": state.opt_state,
                     "batch_stats": state.batch_stats, "rng": state.rng}
+        template = jax.tree.map(_abstract_with_sharding, template)
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
         return state.replace(**restored)

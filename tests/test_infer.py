@@ -75,3 +75,45 @@ def test_save_inference_samples_batched(tmp_path):
         a = np.asarray(Image.open(out1[src]))
         b = np.asarray(Image.open(out2[src]))
         np.testing.assert_array_equal(a, b)
+
+
+def test_sweep_overlay_matches_device_path(tmp_path):
+    """The sweep (u8 labels down + host composite) reproduces the device
+    overlay path: labels bit-equal, blend within +-1 u8 (FMA rounding)."""
+    from PIL import Image
+    from semanticsegmentation_tensorflow_tpu.ops.overlay import host_overlay
+
+    d = generate_synthetic_kitti(str(tmp_path / "dr3"), n_train=1, n_test=2,
+                                 h=94, w=150)
+    ds = KittiRoadDataset(d, image_size=(94, 150))
+    p = _predictor()
+    outs = dict(save_inference_samples(p, ds.test_images,
+                                       runs_dir=str(tmp_path / "r3")))
+    for src, dst in outs.items():
+        img = np.asarray(Image.open(src).convert("RGB"))
+        dev_overlay, dev_labels = p(img)
+        sweep_labels = np.asarray(p._fwd_labels(img[None]))[0]
+        np.testing.assert_array_equal(sweep_labels, dev_labels.astype(np.uint8))
+        written = np.asarray(Image.open(dst).convert("RGB"))
+        host = host_overlay(img, sweep_labels, p._palette, p._alpha)
+        np.testing.assert_array_equal(written, host)
+        diff = np.abs(written.astype(np.int16) - dev_overlay.astype(np.int16))
+        assert diff.max() <= 1
+
+
+def test_fastpng_roundtrip():
+    """utils/fastpng output is a standard PNG: PIL decodes it bit-exactly."""
+    import io
+    from PIL import Image
+    from semanticsegmentation_tensorflow_tpu.utils.fastpng import encode_png
+
+    rng = np.random.default_rng(0)
+    for shape in ((7, 5, 3), (64, 257, 3), (1, 1, 3)):
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        back = np.asarray(Image.open(io.BytesIO(encode_png(arr))).convert("RGB"))
+        np.testing.assert_array_equal(back, arr)
+    # non-contiguous input (e.g. a slice of a batch)
+    batch = rng.integers(0, 256, (2, 16, 9, 4)).astype(np.uint8)
+    arr = batch[1, :, :, :3]
+    back = np.asarray(Image.open(io.BytesIO(encode_png(arr))).convert("RGB"))
+    np.testing.assert_array_equal(back, arr)
