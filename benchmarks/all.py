@@ -31,7 +31,7 @@ from semanticsegmentation_tensorflow_tpu.utils.profiling import (
 
 
 def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
-                **kwargs) -> dict:
+                display: str | None = None, **kwargs) -> dict:
     from semanticsegmentation_tensorflow_tpu.data import make_augment_fn
     from semanticsegmentation_tensorflow_tpu.models import build_model
     from semanticsegmentation_tensorflow_tpu.train import (
@@ -57,7 +57,7 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
         state, out = step(state, b)
     _sync(out["loss"])
     dt = time.perf_counter() - t0
-    return {"name": f"{model_name}_train", "batch": batch,
+    return {"name": f"{display or model_name}_train", "batch": batch,
             "images_per_sec": round(batch * steps / dt, 2),
             "ms_per_step": round(dt / steps * 1000, 2)}
 
@@ -69,9 +69,13 @@ def bench_infer(batch: int, steps: int) -> dict:
     from semanticsegmentation_tensorflow_tpu.infer import Predictor
     from semanticsegmentation_tensorflow_tpu.models import FCN8s
 
+    import functools
     model = FCN8s(num_classes=2)
     x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
-    vs = model.init(jax.random.key(0), x, train=False)
+    # jitted init: eager flax init round-trips the tunnel per-op (80-220s
+    # measured); one compiled program is ~10s
+    vs = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.key(0), x)
     pred = Predictor(model, vs, (375, 1242))
     img = np.random.default_rng(0).integers(
         0, 256, (batch, 375, 1242, 3)).astype(np.uint8)
@@ -116,9 +120,11 @@ def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
     )
     from semanticsegmentation_tensorflow_tpu.models import FCN8s
 
+    import functools
     model = FCN8s(num_classes=2)
     x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
-    vs = model.init(jax.random.key(0), x, train=False)
+    vs = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.key(0), x)
     pred = Predictor(model, vs, (375, 1242))
 
     src_dir = os.path.join(tmp_root, "sweep_src")
@@ -158,13 +164,18 @@ def main() -> int:
     setup_runtime()
 
     results = []
+    # batch sizes are the measured-best per model on v5e (batch sweeps
+    # 2026-08-17: fcn8s flat 16/24/32; segnet/unet flat 8/16 — bandwidth-
+    # bound; deeplab os8 27->73 img/s going 4->8)
     for name, bs, kw in [
         ("fcn8s", 16, {}),
         ("unet", 8, {}),
         ("segnet", 8, {}),
-        ("deeplab", 4, {}),  # output-stride-8: big activations
+        ("deeplab", 8, {}),
+        ("deeplab_os16", 8, {"output_stride": 16}),
     ]:
-        r = bench_train(name, bs, 384, 1248, steps, **kw)
+        r = bench_train(name.split("_os")[0], bs, 384, 1248, steps,
+                        display=name, **kw)
         print(r)
         results.append(r)
     for bs in (1, 8):

@@ -66,7 +66,11 @@ class DeepLabASPP(nn.Module):
     aspp_features: int = 256
     rates: Sequence[int] = (6, 12, 18)
     width_mult: float = 1.0
-    use_bn: bool = True
+    # DeepLab-v3 uses BN; the reference's TF1 script does not (SURVEY.md §2
+    # row 4 lists atrous_conv2d/ASPP/resize_bilinear only), so the parity
+    # default is off — measured +25% train img/s (27.1 -> 33.9 at batch 4,
+    # v5e, os8).
+    use_bn: bool = False
     dropout_rate: float = 0.5
     dtype: jnp.dtype = DEFAULT_DTYPE
     output_stride: int = 8
@@ -77,8 +81,17 @@ class DeepLabASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        if self.output_stride not in (8, 16):
+            raise ValueError(
+                f"output_stride must be 8 or 16, got {self.output_stride}")
+        # os8: stages 4-5 dilated (classic DeepLab-LargeFOV, the reference's
+        # configuration). os16: only stage 5 dilated — stage5/fc run on a
+        # 4x smaller grid (a measured ~2x train step speedup) at a modest
+        # localization cost the ASPP rates partly recover.
         ends = VGG16(width_mult=self.width_mult, use_bn=self.use_bn,
-                     dilated_last_stages=True, fc_features=512,
+                     dilated_last_stages=True,
+                     dilate_from={8: 4, 16: 5}[self.output_stride],
+                     fc_features=512,
                      dropout_rate=self.dropout_rate,
                      dtype=self.dtype, name="vgg16")(x, train=train)
         x = ASPP(features=self.aspp_features, rates=self.rates,

@@ -28,7 +28,12 @@ _STAGES: tuple[tuple[int, int], ...] = ((2, 64), (2, 128), (3, 256), (3, 512), (
 class SegNet(nn.Module):
     num_classes: int = 2
     width_mult: float = 1.0
-    use_bn: bool = True  # SegNet paper uses BN throughout
+    # The SegNet paper uses BN throughout; the reference's TF1 script does
+    # not (SURVEY.md §2 row 3 lists only max_pool_with_argmax + unpool among
+    # its TF calls), so the parity default is off — measured +18% train
+    # img/s (40.7 -> 48.0 at batch 8, v5e): train-mode BN adds two full-res
+    # reduction passes per conv that XLA cannot fuse away.
+    use_bn: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
 

@@ -43,6 +43,10 @@ class VGG16(nn.Module):
     width_mult: float = 1.0
     use_bn: bool = False
     dilated_last_stages: bool = False
+    # first stage whose pool is dropped (stride folded into dilation of
+    # everything after it). 4 -> output stride 8 (classic DeepLab-LargeFOV);
+    # 5 -> output stride 16 (stage4 keeps its pool; ~4x cheaper stage5/fc).
+    dilate_from: int = 4
     # compute stage1 with width-pairs packed into channels (full MXU lanes;
     # ops/packed_stem.py). Same params/checkpoints; values equal up to float
     # summation order, so it is a perf flag, not an architecture change.
@@ -64,7 +68,7 @@ class VGG16(nn.Module):
         dilation = 1
         for i, (n_convs, feats) in enumerate(VGG16_STAGES, start=1):
             feats = max(8, int(feats * self.width_mult))
-            dilate_stage = self.dilated_last_stages and i >= 4
+            dilate_stage = self.dilated_last_stages and i >= self.dilate_from
             if (i == 1 and self.packed_stage1 and not self.use_bn
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
                 x = PackedStage1(feats, dtype=self.dtype,

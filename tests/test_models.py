@@ -90,6 +90,32 @@ def test_deeplab_output_stride_8_endpoints():
     assert ends["conv7"].shape[1:3] == (8, 8)
 
 
+def test_deeplab_output_stride_16():
+    """os16 drops only stage5's pool: /16 grid, dilation 2 on conv6, and
+    full-resolution logits after the bilinear upsample."""
+    from semanticsegmentation_tensorflow_tpu.models.deeplab import DeepLabASPP
+    from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
+    m = VGG16(width_mult=0.125, fc_features=16, dilated_last_stages=True,
+              dilate_from=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = m.init(jax.random.key(0), x, train=False)
+    ends = m.apply(vs, x, train=False)
+    assert ends["pool4"].shape[1:3] == (4, 4)     # /16 (still pooled)
+    assert ends["pool5"].shape[1:3] == (4, 4)     # /16 (dilated, no pool)
+    assert ends["conv7"].shape[1:3] == (4, 4)
+
+    dl = DeepLabASPP(num_classes=3, aspp_features=16, width_mult=0.125,
+                     rates=(2, 4), output_stride=16)
+    vs = dl.init(jax.random.key(0), x, train=False)
+    out = dl.apply(vs, x, train=False)
+    assert out.shape == (1, 64, 64, 3)
+
+    import pytest
+    with pytest.raises(ValueError):
+        bad = DeepLabASPP(output_stride=32)
+        bad.init(jax.random.key(0), x, train=False)
+
+
 def test_vgg16_endpoint_strides():
     from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
     m = VGG16(width_mult=0.125, fc_features=16)
