@@ -76,7 +76,9 @@ def main() -> None:
     import os
     flops_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "canonical_flops.json")
-    flops_key = f"fcn8s-b{batch}-{h}x{w}-fc{fc}-nc2"
+    # the key pins EVERY config knob that changes the counted FLOPs (step
+    # fn contents included) — bump the trailing tag when editing the step
+    flops_key = f"fcn8s-b{batch}-{h}x{w}-fc{fc}-nc2-adam-aug-nometrics"
     try:
         with open(flops_path) as f:
             flops = float(json.load(f)[flops_key])

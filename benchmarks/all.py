@@ -62,21 +62,29 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
             "ms_per_step": round(dt / steps * 1000, 2)}
 
 
+def _make_fcn8s_predictor(batch: int):
+    """Shared FCN-8s Predictor setup for the inference benchmarks.
+
+    Init is jitted: eager flax init round-trips the tunnel per-op (80-220s
+    measured); one compiled program is ~10s.
+    """
+    import functools
+
+    from semanticsegmentation_tensorflow_tpu.infer import Predictor
+    from semanticsegmentation_tensorflow_tpu.models import FCN8s
+
+    model = FCN8s(num_classes=2)
+    x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
+    vs = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.key(0), x)
+    return Predictor(model, vs, (375, 1242))
+
+
 def bench_infer(batch: int, steps: int) -> dict:
     """Fused Predictor pipeline (normalize->pad->fwd->crop->overlay) on
     device; counts uint8-in / uint8-out round trips like the reference's
     inference mode (SURVEY.md §3.2)."""
-    from semanticsegmentation_tensorflow_tpu.infer import Predictor
-    from semanticsegmentation_tensorflow_tpu.models import FCN8s
-
-    import functools
-    model = FCN8s(num_classes=2)
-    x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
-    # jitted init: eager flax init round-trips the tunnel per-op (80-220s
-    # measured); one compiled program is ~10s
-    vs = jax.jit(functools.partial(model.init, train=False))(
-        jax.random.key(0), x)
-    pred = Predictor(model, vs, (375, 1242))
+    pred = _make_fcn8s_predictor(batch)
     img = np.random.default_rng(0).integers(
         0, 256, (batch, 375, 1242, 3)).astype(np.uint8)
     pred(img)  # compile
@@ -115,17 +123,9 @@ def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
 
     from PIL import Image
 
-    from semanticsegmentation_tensorflow_tpu.infer import (
-        Predictor, save_inference_samples,
-    )
-    from semanticsegmentation_tensorflow_tpu.models import FCN8s
+    from semanticsegmentation_tensorflow_tpu.infer import save_inference_samples
 
-    import functools
-    model = FCN8s(num_classes=2)
-    x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
-    vs = jax.jit(functools.partial(model.init, train=False))(
-        jax.random.key(0), x)
-    pred = Predictor(model, vs, (375, 1242))
+    pred = _make_fcn8s_predictor(batch)
 
     src_dir = os.path.join(tmp_root, "sweep_src")
     runs_dir = os.path.join(tmp_root, "sweep_runs")

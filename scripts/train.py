@@ -112,10 +112,12 @@ def main(argv=None):
     n_train = len(ds.train_images)
 
     model_kwargs = dict(cfg.model_kwargs)
-    if args.spatial > 1 and cfg.model in ("fcn8s", "fcn16s", "fcn32s"):
-        # SPMD cannot partition through the packed stage1's pallas_call;
-        # the jnp pool path partitions fine under the 2-D mesh
-        model_kwargs.setdefault("pallas_pool", False)
+    if args.spatial > 1:
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            spmd_safe_kwargs,
+        )
+        for k, v in spmd_safe_kwargs(cfg.model).items():
+            model_kwargs.setdefault(k, v)
     model = build_model(cfg.model, num_classes=dc.num_classes, **model_kwargs)
     stride = getattr(model, "total_stride", 32)
 

@@ -169,8 +169,13 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
         futures: list[tuple[str, str, object]] = []
 
         def render(img: np.ndarray, labels: np.ndarray, path: str) -> None:
-            write_png(path, host_overlay(img, labels, predictor._palette,
-                                         predictor._alpha))
+            overlay = host_overlay(img, labels, predictor._palette,
+                                   predictor._alpha)
+            if path.lower().endswith(".png"):
+                write_png(path, overlay)
+            else:  # non-PNG sources keep their format (PIL, by extension)
+                from PIL import Image
+                Image.fromarray(overlay).save(path)
 
         def flush(all_of_them: bool) -> Iterator[tuple[str, str]]:
             # yield in submission order; keep at most one batch in flight

@@ -27,3 +27,15 @@ def build_model(name: str, num_classes: int, **kwargs: Any) -> nn.Module:
     except KeyError:
         raise ValueError(f"unknown model {name!r}; available: {sorted(MODELS)}")
     return cls(num_classes=num_classes, **kwargs)
+
+
+def spmd_safe_kwargs(name: str) -> dict[str, Any]:
+    """Model kwargs required under a COMPILER-PARTITIONED (2-D spatial)
+    mesh: XLA's SPMD partitioner cannot partition through a pallas_call,
+    so models with a Pallas stage1 must fall back to the jnp pool path
+    (which partitions fine). Every entry point that builds a model for a
+    spatial mesh should merge these in (setdefault, so explicit user
+    choices still win and get a clear partitioner error if forced)."""
+    if name in ("fcn8s", "fcn16s", "fcn32s"):
+        return {"pallas_pool": False}
+    return {}

@@ -235,11 +235,19 @@ class PackedStage1(nn.Module):
         use_pallas = self.pallas_pool
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and f == 64
-        if use_pallas and f == 64:
+        elif use_pallas and f != 64:
+            raise ValueError(
+                f"pallas_pool=True requires the canonical features=64 "
+                f"(got {f}); the fused stage1 kernel is specialised to the "
+                "128-lane packed width")
+        if use_pallas:
             from semanticsegmentation_tensorflow_tpu.ops.pallas.stage1 import (
                 fused_stage1_tail,
             )
-            return fused_stage1_tail(z1, k2, b2, False)
+            # off-TPU an explicit pallas_pool=True runs the kernel in
+            # interpret mode (slow but correct) instead of failing to lower
+            return fused_stage1_tail(z1, k2, b2,
+                                     jax.default_backend() != "tpu")
         y = lax.conv_general_dilated(
             nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)

@@ -17,6 +17,30 @@ import orbax.checkpoint as ocp
 from semanticsegmentation_tensorflow_tpu.train.state import TrainState
 
 
+def _encode_impl(rng) -> "jax.Array":
+    """PRNG impl name ('threefry2x32', 'rbg', ...) as a uint8 byte array."""
+    import numpy as np
+
+    name = str(jax.random.key_impl(rng)).encode()
+    return jax.numpy.asarray(np.frombuffer(name, dtype=np.uint8))
+
+
+def _rng_template_leaves(rng):
+    """(rng_data, rng_impl) template leaves from a concrete OR abstract
+    rng — key_data/key_impl reject ShapeDtypeStructs, so for abstract
+    templates the impl name is parsed from the key dtype ('key<rbg>')."""
+    import numpy as np
+
+    if isinstance(rng, jax.Array):
+        return jax.random.key_data(rng), _encode_impl(rng)
+    name = str(rng.dtype)
+    name = name[4:-1] if name.startswith("key<") else name
+    sample = jax.eval_shape(lambda: jax.random.key_data(
+        jax.random.key(0, impl=name)))
+    return (jax.ShapeDtypeStruct(sample.shape, sample.dtype),
+            jax.numpy.asarray(np.frombuffer(name.encode(), dtype=np.uint8)))
+
+
 def _abstract_with_sharding(leaf):
     """Template leaf -> ShapeDtypeStruct WITH sharding.
 
@@ -46,9 +70,18 @@ class CheckpointManager:
 
     def save(self, state: TrainState, wait: bool = False) -> None:
         step = int(jax.device_get(state.step))
+        # The rng is stored as raw key DATA + impl name, not as a typed key
+        # array: key shapes differ per impl (threefry2x32 uint32[2] vs rbg
+        # uint32[4]), so storing the typed key couples every checkpoint to
+        # the impl the writer happened to use. Data+name restores exactly
+        # the original stream under any future default.
         payload = {"step": state.step, "params": state.params,
                    "opt_state": state.opt_state,
-                   "batch_stats": state.batch_stats, "rng": state.rng}
+                   "batch_stats": state.batch_stats,
+                   "rng_data": jax.random.key_data(state.rng),
+                   # impl name as uint8 bytes — orbax StandardSave rejects
+                   # plain strings
+                   "rng_impl": _encode_impl(state.rng)}
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         if wait:
             self._mgr.wait_until_finished()
@@ -69,10 +102,50 @@ class CheckpointManager:
             return state
         template = {"step": state.step, "params": state.params,
                     "opt_state": state.opt_state,
-                    "batch_stats": state.batch_stats, "rng": state.rng}
-        template = jax.tree.map(_abstract_with_sharding, template)
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+                    "batch_stats": state.batch_stats}
+        try:
+            meta_keys = set(self._mgr.item_metadata(step).keys())
+        except Exception:
+            # a legacy typed-key leaf can make metadata parsing itself fail
+            meta_keys = None
+
+        def _meta_sds(key):
+            md = self._mgr.item_metadata(step)[key]
+            return jax.ShapeDtypeStruct(tuple(md.shape), md.dtype)
+
+        def _restore(tmpl):
+            tmpl = jax.tree.map(_abstract_with_sharding, tmpl)
+            return self._mgr.restore(step,
+                                     args=ocp.args.StandardRestore(tmpl))
+
+        if meta_keys is not None and "rng_data" in meta_keys:
+            # rng_data's / rng_impl's stored shapes follow the WRITER's
+            # impl, which may differ from the current default — take them
+            # from the checkpoint metadata
+            restored = _restore(dict(template,
+                                     rng_data=_meta_sds("rng_data"),
+                                     rng_impl=_meta_sds("rng_impl")))
+        elif meta_keys is not None and "rng" in meta_keys:
+            # legacy checkpoint layout: a typed key leaf (only restorable
+            # while the template impl still matches the writer's)
+            restored = _restore(dict(template, rng=state.rng))
+        else:
+            # metadata unavailable: try the current layout (shapes derived
+            # from the template's impl — abstract-template safe), and fall
+            # back to the legacy typed-key layout on a structure mismatch
+            data, impl_u8 = _rng_template_leaves(state.rng)
+            try:
+                restored = _restore(dict(template, rng_data=data,
+                                         rng_impl=impl_u8))
+            except (ValueError, KeyError):
+                restored = _restore(dict(template, rng=state.rng))
+        if "rng_data" in restored:
+            import numpy as np
+
+            impl = bytes(np.asarray(restored.pop("rng_impl"))).decode()
+            rng = jax.random.wrap_key_data(restored.pop("rng_data"),
+                                           impl=impl)
+            return state.replace(rng=rng, **restored)
         return state.replace(**restored)
 
     def close(self) -> None:

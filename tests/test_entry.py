@@ -18,12 +18,16 @@ def test_entry_forward_shape():
 
 
 def test_dryrun_multichip_8():
-    ge.dryrun_multichip(8)
     # hermeticity contract: the dryrun must never place data on a non-CPU
     # device when the mesh lives on (fake) CPU devices — validated for real
-    # with the axon TPU plugin present (round 2); here we at least assert the
-    # post-dryrun heap is CPU-only.
-    assert not [a for a in jax.live_arrays()
+    # with the axon TPU plugin present (round 2). jax.live_arrays() is
+    # process-global, so snapshot before and only inspect arrays the dryrun
+    # itself created (earlier test modules may legitimately hold arrays on
+    # the default backend).
+    before = {id(a) for a in jax.live_arrays()}
+    ge.dryrun_multichip(8)
+    created = [a for a in jax.live_arrays() if id(a) not in before]
+    assert not [a for a in created
                 if any(d.platform != "cpu" for d in a.devices())]
 
 

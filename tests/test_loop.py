@@ -65,3 +65,65 @@ def test_loop_resume_from_checkpoint(tmp_path):
     assert int(jax.device_get(fresh.step)) == 3
     assert ckpt.latest_step() == 3
     ckpt.close()
+
+
+def test_checkpoint_rng_restores_across_impl_change(tmp_path):
+    """The rng is stored as key DATA + impl name, so a checkpoint written
+    under one PRNG impl (e.g. the rbg default) restores exactly even when
+    the restore template was built with a different impl — key shapes
+    differ per impl (threefry2x32 uint32[2] vs rbg uint32[4]), and storing
+    the typed key would couple checkpoints to the writer's impl."""
+    import numpy as np
+
+    import jax
+
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    model = build_model("unet", num_classes=2, base_features=4)
+    st = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
+                            make_optimizer("adam", 1e-4))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(st, wait=True)
+    other_impl = ("threefry2x32"
+                  if str(jax.random.key_impl(st.rng)) != "threefry2x32"
+                  else "rbg")
+    template = st.replace(rng=jax.random.key(7, impl=other_impl))
+    restored = mgr.restore(template)
+    mgr.close()
+    assert (str(jax.random.key_impl(restored.rng))
+            == str(jax.random.key_impl(st.rng)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(st.rng)))
+
+
+def test_checkpoint_restore_into_abstract_template(tmp_path):
+    """scripts/test.py restores into a create_abstract_state template
+    (ShapeDtypeStruct leaves, including the rng) — the rng data+impl
+    handling must not require a concrete key."""
+    import jax
+
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.state import (
+        create_abstract_state, make_optimizer,
+    )
+
+    model = build_model("unet", num_classes=2, base_features=4)
+    tx = make_optimizer("adam", 1e-4)
+    st = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(st, wait=True)
+    abstract = create_abstract_state(model, (1, 32, 32, 3), tx)
+    restored = mgr.restore(abstract)
+    mgr.close()
+    assert (str(jax.random.key_impl(restored.rng))
+            == str(jax.random.key_impl(st.rng)))
