@@ -34,14 +34,35 @@ class SegNet(nn.Module):
     # img/s (40.7 -> 48.0 at batch 8, v5e): train-mode BN adds two full-res
     # reduction passes per conv that XLA cannot fuse away.
     use_bn: bool = False
+    # compute the encoder's 64-channel full-res stage width-pair-packed
+    # (full MXU lanes; same params/indices — ops/packed_stem.py). A perf
+    # flag, not an architecture change.
+    packed_stage1: bool = True
+    # Pallas fused stage1 tail (in-kernel argmax pool; None = auto on TPU).
+    # Set False under a compiler-partitioned mesh (registry.spmd_safe_kwargs).
+    pallas_pool: bool | None = None
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
+            PackedSegNetStage1,
+        )
+
         indices: list[jax.Array] = []
         for i, (n_convs, feats) in enumerate(_STAGES, start=1):
             feats = max(8, int(feats * self.width_mult))
+            if (i == 1 and self.packed_stage1 and not self.use_bn
+                    and feats == 64
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                # width-pair-packed stage1 (full MXU lanes at the 64-ch
+                # full-res stage; same params/indices — ops/packed_stem.py)
+                x, idx = PackedSegNetStage1(
+                    feats, dtype=self.dtype, pallas_pool=self.pallas_pool,
+                    name="enc1")(x)
+                indices.append(idx)
+                continue
             x = ConvBlock(feats, n_convs=n_convs, use_bn=self.use_bn,
                           dtype=self.dtype, name=f"enc{i}")(x, train=train)
             x, idx = max_pool_with_argmax(x, 2)

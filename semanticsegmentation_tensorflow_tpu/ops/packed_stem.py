@@ -90,6 +90,16 @@ def pack_stem_conv2(k: jax.Array) -> jax.Array:
     return kp
 
 
+def unpack_pairs(y: jax.Array) -> jax.Array:
+    """[N,H,Wp,2F] width-pair-packed -> [N,H,W,F] full resolution.
+
+    Packed channel dx*F+c holds full-res column 2X+dx, so unpacking is a
+    pure reshape (X and dx are adjacent in row-major order)."""
+    n, h, wp, c2 = y.shape
+    f = c2 // 2
+    return y.reshape(n, h, wp, 2, f).reshape(n, h, 2 * wp, f)
+
+
 def _row_pool(m: jax.Array) -> jax.Array:
     """Max over adjacent row pairs: [N,H,Wp,C] -> [N,H/2,Wp,C]. Native
     reduce_window, whose JAX VJP is select_and_scatter_add (first max in
@@ -257,3 +267,62 @@ class PackedStage1(nn.Module):
         # and gradient-wise, while the bias add, the relu mask, and the
         # bias-grad reduction all run at 1/4 resolution (measured -5 ms).
         return nn.relu(pool_pairs(y) + b2.astype(dt))
+
+
+class PackedSegNetStage1(nn.Module):
+    """SegNet encoder stage1: conv3x3 -> relu -> conv3x3 -> +b -> relu ->
+    2x2 argmax pool, width-pair-packed.
+
+    Drop-in replacement for ``ConvBlock(features, n_convs=2)`` +
+    ``max_pool_with_argmax`` with an identical parameter tree; returns
+    (pooled, within-window argmax u8) with the reference's
+    max_pool_with_argmax semantics (row-major window order, first max
+    wins — models/segnet.py). Unlike the FCN stage1 the bias+relu CANNOT
+    be deferred past the pool here: the pooled VALUE commutes but the
+    recorded index does not (relu reorders negatives), so the fused kernel
+    runs in ``biased_codes`` mode (ops/pallas/stage1.py).
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = DEFAULT_DTYPE
+    pallas_pool: bool | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        from semanticsegmentation_tensorflow_tpu.ops.pool import (
+            max_pool_with_argmax,
+        )
+
+        f = self.features
+        k1, b1 = _ConvParams(x.shape[-1], f, name="conv0")()
+        k2, b2 = _ConvParams(f, f, name="conv1")()
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            raise ValueError(
+                f"packed stage1 needs even H, W; got {x.shape[1:3]}")
+
+        dt = self.dtype
+        x = x.astype(dt)
+        z1 = lax.conv_general_dilated(
+            x, pack_stem_conv1(k1).astype(dt), window_strides=(1, 2),
+            padding=((1, 1), (1, 1)), dimension_numbers=_DN)
+        z1 = z1 + jnp.tile(b1, 2).astype(dt)
+        use_pallas = self.pallas_pool
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and f == 64
+        elif use_pallas and f != 64:
+            raise ValueError(
+                f"pallas_pool=True requires the canonical features=64 "
+                f"(got {f}); the fused stage1 kernel is specialised to the "
+                "128-lane packed width")
+        if use_pallas:
+            from semanticsegmentation_tensorflow_tpu.ops.pallas.stage1 import (
+                fused_segnet_stage1_tail,
+            )
+            pooled, idx = fused_segnet_stage1_tail(
+                z1, k2, b2, jax.default_backend() != "tpu")
+            return pooled, idx.astype(jnp.int8)
+        y = lax.conv_general_dilated(
+            nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
+            padding=((1, 1), (1, 1)), dimension_numbers=_DN)
+        full = nn.relu(unpack_pairs(y) + b2.astype(dt))
+        return max_pool_with_argmax(full, 2)

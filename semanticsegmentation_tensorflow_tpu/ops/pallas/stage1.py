@@ -151,13 +151,24 @@ def _dotT(a: jax.Array, b: jax.Array) -> jax.Array:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes):
+def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes, *,
+                biased_codes=False):
     """Grid (Hp/K, N/nt). Inputs: the pre-relu conv1_1 rows for K pool
     rows — a [2K,...] center block plus 1-row top/bottom halo blocks
     (edge-clamped) — and the packed tap matrices + bias. Outputs: K
     pooled+bias+relu rows [K,W,nt,F] bf16 and the 2-bit routing codes (u8)
     for the backward. Blocking K pool rows per program cuts the halo read
-    amplification from 2x (one-row programs) to (2K+2)/2K."""
+    amplification from 2x (one-row programs) to (2K+2)/2K.
+
+    ``biased_codes`` (SegNet mode): pool relu(z + b) and compute the codes
+    on those biased values, so the codes ARE max_pool_with_argmax's
+    within-window indices (the decoder unpools by them). The default
+    (FCN) mode pools the pre-bias z and applies +b -> relu after — values
+    bit-equal (the deferred-bias commute, ops/packed_stem.PooledConvBlock)
+    but the codes then index the pre-relu ordering, which relu reorders
+    for negatives; only the FCN mode may defer. The backward is identical
+    in both modes: the ``pooled > 0`` mask equals the selected element's
+    relu mask either way."""
     p = pl.program_id(0)
     npr = pl.num_programs(0)
     dt = ycen.dtype
@@ -191,6 +202,12 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes):
 
         za = conv_row(2 * k)
         zb = conv_row(2 * k + 1)
+        if biased_codes:                    # SegNet: bias+relu BEFORE pool
+            # b2 arrives pre-tiled to [1, 2F] (Mosaic rejects an in-kernel
+            # lane-offset concatenate of the [F] half with itself)
+            bfull = b2[0].astype(dt)
+            za = jnp.maximum(za + bfull, 0)
+            zb = jnp.maximum(zb + bfull, 0)
 
         # comparisons in f32 (Mosaic on this stack rejects sub-32-bit
         # compares; f32 equality of exact bf16 values is identical — see
@@ -209,7 +226,8 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes):
         code = (w1.astype(jnp.int32) + 2 * w2.astype(jnp.int32)
                 + 3 * w3.astype(jnp.int32))
         codes[k] = code.astype(jnp.uint8)
-        out[k] = jnp.maximum(m.astype(dt) + b2[0], 0)
+        out[k] = (m.astype(dt) if biased_codes
+                  else jnp.maximum(m.astype(dt) + b2[0], 0))
 
         for i in list(win):                 # slide the row window
             if i < 2 * k + 1:
@@ -389,16 +407,17 @@ def _halo_specs(w, nt, c, nrows, total_rows):
     return top, cen, bot
 
 
-def _fwd_call(z1t, mw, sw, b2, *, nt, interpret):
+def _fwd_call(z1t, mw, sw, b2, *, nt, interpret, biased_codes=False):
     h, w, n, c = z1t.shape
     hp = h // 2
     k = _pick_k(hp)  # fwd: max_k=4 default
     grid = (hp // k, n // nt)
 
     ytop, ycen, ybot = _halo_specs(w, nt, c, 2 * k, h)
+    bvec = jnp.tile(b2, 2) if biased_codes else b2  # see _fwd_kernel
     in_specs = [ytop, ycen, ybot,
                 _const_spec((3, c, c)), _const_spec((3, c, c)),
-                _const_spec((1, F))]
+                _const_spec((1, bvec.shape[0]))]
     out_specs = [
         _spec((k, w, nt, F), lambda p, b: (p, 0, b, 0)),
         _spec((k, w, nt, F), lambda p, b: (p, 0, b, 0)),
@@ -409,14 +428,15 @@ def _fwd_call(z1t, mw, sw, b2, *, nt, interpret):
     ]
     flops = 2 * (12 * w * nt * c * c) * hp * (n // nt)
     return pl.pallas_call(
-        _fwd_kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        partial(_fwd_kernel, biased_codes=biased_codes),
+        grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=z1t.size * 4, transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(z1t, z1t, z1t, mw, sw, b2.reshape(1, F))
+    )(z1t, z1t, z1t, mw, sw, bvec.reshape(1, -1))
 
 
 def _bwd_call(gt, ot, ct, z1t, mwt, swt, *, nt, interpret):
@@ -511,3 +531,66 @@ def reference_stage1_tail(z1, k2, b2):
 fused_stage1_tail.defvjp(
     lambda z1, k2, b2, interpret: _fused_fwd(z1, k2, b2, interpret),
     _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# SegNet mode: same fused tail, but pooling relu(z + b) and RETURNING the
+# within-window argmax codes (u8, (dy,dx) row-major, first-max-wins — the
+# exact max_pool_with_argmax index the decoder unpools by).
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_segnet_stage1_tail(z1, k2, b2, interpret=False):
+    """relu -> packed conv1_2 -> +bias -> relu -> 2x2 argmax pool, fused.
+
+    z1: [N,H,Wp,2F] packed PRE-relu conv1_1 output. Returns
+    (pooled [N,H/2,Wp,F], indices u8 [N,H/2,Wp,F]) — the SegNet encoder
+    stage1 (models/segnet.py), replacing ConvBlock + max_pool_with_argmax.
+    """
+    (out, idx), _ = _fused_seg_fwd(z1, k2, b2, interpret)
+    return out, idx
+
+
+def _fused_seg_fwd(z1, k2, b2, interpret):
+    n, h, w, c = z1.shape
+    nt = _pick_nt(n, w, 2560)
+    mw, sw = _build_mats(k2, z1.dtype)
+    z1t = jnp.transpose(z1, (1, 2, 0, 3))   # free HWNC bitcast (see above)
+    out_t, codes_t = _fwd_call(z1t, mw, sw, b2.astype(z1.dtype),
+                               nt=nt, interpret=interpret, biased_codes=True)
+    out = jnp.transpose(out_t, (2, 0, 1, 3))
+    idx = jnp.transpose(codes_t, (2, 0, 1, 3))
+    return (out, idx), (z1, k2, b2, out_t, codes_t)
+
+
+def _fused_seg_bwd(interpret, res, g):
+    # the codes output is integer-typed (float0 cotangent) — only the
+    # pooled output's cotangent flows. The backward kernel is the SAME as
+    # the FCN mode: the `pooled > 0` mask equals the selected element's
+    # relu(z + b) mask, the codes route identically, and db2/dM/dS read
+    # the same operands.
+    g_out, _ = g
+    return _fused_bwd(interpret, res, g_out)
+
+
+fused_segnet_stage1_tail.defvjp(_fused_seg_fwd, _fused_seg_bwd)
+
+
+def reference_segnet_stage1_tail(z1, k2, b2):
+    """jnp reference for fused_segnet_stage1_tail: unpack to full
+    resolution, then the canonical relu -> conv -> +b -> relu ->
+    max_pool_with_argmax (ops/pool.py)."""
+    from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
+        pack_stem_conv2, unpack_pairs,
+    )
+    from semanticsegmentation_tensorflow_tpu.ops.pool import (
+        max_pool_with_argmax,
+    )
+    dt = z1.dtype
+    y = jax.nn.relu(z1)
+    z2 = lax.conv_general_dilated(
+        y, pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    full = jax.nn.relu(unpack_pairs(z2) + b2.astype(dt))
+    pooled, idx = max_pool_with_argmax(full, 2)
+    return pooled, idx.astype(jnp.uint8)

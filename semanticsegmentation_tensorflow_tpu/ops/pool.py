@@ -64,6 +64,10 @@ def max_pool(x: jax.Array, window: int = 2, stride: int | None = None,
     return _reduce_window_max(x, window, stride, padding)
 
 
+from functools import partial as _vjp_partial
+
+
+@_vjp_partial(jax.custom_vjp, nondiff_argnums=(1,))
 def max_pool_with_argmax(x: jax.Array, window: int = 2) -> tuple[jax.Array, jax.Array]:
     """Non-overlapping max pool returning (pooled, argmax-in-window).
 
@@ -72,11 +76,29 @@ def max_pool_with_argmax(x: jax.Array, window: int = 2) -> tuple[jax.Array, jax.
     index, matching TF's behaviour). Carrying the *local* index instead of
     TF's global flat index keeps the tensor tiny (int8) and makes the decoder
     unpool a dense one-hot multiply instead of a scatter.
+
+    The custom VJP routes the cotangent to the RECORDED argmax position —
+    TF MaxPoolGradWithArgmax semantics. (jnp.max's own VJP splits exact
+    ties evenly, 0.5/0.5, which both diverges from TF and disagrees with
+    the index the decoder unpools by.)
     """
     xw = _to_windows(x, window, window)  # [N,H',W',k,C]
     pooled = jnp.max(xw, axis=3)
     argmax = jnp.argmax(xw, axis=3).astype(jnp.int8)
     return pooled, argmax
+
+
+def _mpa_fwd(x, window):
+    pooled, argmax = max_pool_with_argmax(x, window)
+    return (pooled, argmax), argmax
+
+
+def _mpa_bwd(window, argmax, g):
+    g_pooled, _ = g  # argmax output is int -> float0 cotangent
+    return (max_unpool(g_pooled, argmax, window),)
+
+
+max_pool_with_argmax.defvjp(_mpa_fwd, _mpa_bwd)
 
 
 def max_unpool(pooled: jax.Array, argmax: jax.Array, window: int = 2) -> jax.Array:

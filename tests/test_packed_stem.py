@@ -289,3 +289,81 @@ def test_fused_stage1_tail_batch_tiling():
     np.testing.assert_allclose(np.asarray(fused(z1, k2, b2, True)),
                                np.asarray(ref(z1, k2, b2)),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SegNet-mode fused tail (biased codes) + packed SegNet stage1
+# ---------------------------------------------------------------------------
+
+def test_fused_segnet_tail_matches_reference():
+    """Values, indices AND index-routed gradients of the biased-codes
+    kernel match the canonical relu->conv->+b->relu->max_pool_with_argmax
+    path, bit-exactly on integer-valued (tie-rich) inputs."""
+    from semanticsegmentation_tensorflow_tpu.ops.pallas.stage1 import (
+        fused_segnet_stage1_tail, reference_segnet_stage1_tail,
+    )
+    rng = np.random.default_rng(3)
+    z1 = jnp.asarray(rng.integers(-2, 3, (2, 6, 8, 128)), jnp.float32)
+    k2 = jnp.asarray(rng.integers(-1, 2, (3, 3, 64, 64)), jnp.float32)
+    k2 = k2.at[1].set(k2[0])              # repeated taps -> many exact ties
+    b2 = jnp.asarray(rng.integers(-2, 3, (64,)), jnp.float32)
+
+    out, idx = fused_segnet_stage1_tail(z1, k2, b2, True)
+    ref_out, ref_idx = reference_segnet_stage1_tail(z1, k2, b2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+    cot = jnp.asarray(rng.integers(-3, 4, out.shape), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.vdot(
+        fused_segnet_stage1_tail(*a, True)[0], cot), (0, 1, 2))(z1, k2, b2)
+    g2 = jax.grad(lambda *a: jnp.vdot(
+        reference_segnet_stage1_tail(*a)[0], cot), (0, 1, 2))(z1, k2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_segnet_packed_matches_unpacked():
+    """Packed SegNet == unpacked SegNet: identical param tree/init, equal
+    outputs (full decoder — exercises the index parity end to end), equal
+    gradients."""
+    from semanticsegmentation_tensorflow_tpu.models.segnet import SegNet
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
+    m_ref = SegNet(num_classes=2, dtype=jnp.float32, packed_stage1=False)
+    m_pkd = SegNet(num_classes=2, dtype=jnp.float32, packed_stage1=True)
+    variables = m_ref.init(jax.random.key(0), x)
+    v2 = m_pkd.init(jax.random.key(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, v2)
+    ref = m_ref.apply(variables, x)
+    pkd = m_pkd.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(pkd), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    gr = jax.grad(loss(m_ref))(variables["params"])
+    gp = jax.grad(loss(m_pkd))(variables["params"])
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(gr)[0],
+            jax.tree_util.tree_flatten_with_path(gp)[0]):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4, err_msg=str(pa))
+
+
+def test_max_pool_with_argmax_grad_routes_by_index():
+    """TF MaxPoolGradWithArgmax parity: the cotangent goes to the RECORDED
+    argmax position, not split across exact ties (jnp.max's default)."""
+    from semanticsegmentation_tensorflow_tpu.ops.pool import (
+        max_pool_with_argmax,
+    )
+
+    x = jnp.asarray([[1.0, 1.0], [1.0, 0.0]])[None, :, :, None]
+    g = jax.grad(lambda x: jnp.sum(max_pool_with_argmax(x, 2)[0]))(x)
+    np.testing.assert_array_equal(
+        np.asarray(g)[0, :, :, 0], np.asarray([[1.0, 0.0], [0.0, 0.0]]))
