@@ -42,6 +42,34 @@ import jax.numpy as jnp
 PEAK_BF16_TFLOPS = {"tpu v5 lite": 197.0, "tpu v5e": 197.0}
 DEFAULT_PEAK = 197.0
 
+# sources that define the CANONICAL counted program (the unpacked model +
+# step). Perf-only paths (packed stem, pallas kernels) are deliberately
+# excluded: they never run in the canonical count, and hashing them would
+# force a pointless recount (an extra multi-minute XLA compile through the
+# tunnel) on every kernel edit.
+_COUNTED_SOURCES = (
+    "semanticsegmentation_tensorflow_tpu/train/step.py",
+    "semanticsegmentation_tensorflow_tpu/train/loss.py",
+    "semanticsegmentation_tensorflow_tpu/train/state.py",
+    "semanticsegmentation_tensorflow_tpu/models/fcn8s.py",
+    "semanticsegmentation_tensorflow_tpu/models/vgg16.py",
+    "semanticsegmentation_tensorflow_tpu/models/common.py",
+    "semanticsegmentation_tensorflow_tpu/ops/fast_upsample.py",
+    "semanticsegmentation_tensorflow_tpu/data/augment.py",
+)
+
+
+def _step_sources_hash() -> str:
+    import hashlib
+    import os
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in _COUNTED_SOURCES:
+        with open(os.path.join(base, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
 
 def main() -> None:
     from semanticsegmentation_tensorflow_tpu.config import DataConfig
@@ -76,9 +104,11 @@ def main() -> None:
     import os
     flops_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "benchmarks", "canonical_flops.json")
-    # the key pins EVERY config knob that changes the counted FLOPs (step
-    # fn contents included) — bump the trailing tag when editing the step
-    flops_key = f"fcn8s-b{batch}-{h}x{w}-fc{fc}-nc2-adam-aug-nometrics"
+    # the key pins EVERY config knob that changes the counted FLOPs, plus a
+    # content hash of the sources that define the counted program — so an
+    # edit to the step/model can never silently reuse a stale denominator
+    flops_key = (f"fcn8s-b{batch}-{h}x{w}-fc{fc}-nc2-adam-aug-nometrics-"
+                 + _step_sources_hash())
     try:
         with open(flops_path) as f:
             flops = float(json.load(f)[flops_key])
@@ -123,6 +153,35 @@ def main() -> None:
     imgs_per_sec = batch * n_steps / dt
     ms_per_step = dt / n_steps * 1000
 
+    # the BASELINE metric is train + infer img/s; the JSON line keeps its
+    # train contract (stable across rounds), the measured infer throughput
+    # goes to the stderr breakdown. Device-resident batched label-map
+    # forward — the serving-loop steady state (benchmarks/all.py has the
+    # full host-in-the-loop variants).
+    infer_ips = None
+    try:
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            normalize_images,
+        )
+        ib = 8
+
+        @jax.jit
+        def infer_step(params, image_u8):
+            x = normalize_images(image_u8, dc.mean, dc.std)
+            logits = model.apply({"params": params}, x, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        iimg = images[:ib]
+        lbl = infer_step(state.params, iimg)
+        np.asarray(lbl)  # value fetch = true sync (see NOTE above)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            lbl = infer_step(state.params, iimg)
+        np.asarray(lbl)
+        infer_ips = ib * n_steps / (time.perf_counter() - t0)
+    except Exception as e:  # never let the infer leg kill the headline
+        print(f"infer measurement failed: {e!r}", file=sys.stderr)
+
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "").lower()
     peak_tflops = next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind),
@@ -134,12 +193,15 @@ def main() -> None:
         vs_baseline = imgs_per_sec / target
         achieved_tflops = imgs_per_sec * flops_per_img / 1e12
         mfu = achieved_tflops / peak_tflops
+        infer_txt = ("" if infer_ips is None
+                     else f" | infer (device, b8): {infer_ips:.1f} img/s")
         print(
             f"step: {ms_per_step:.2f} ms | {imgs_per_sec:.1f} img/s | "
             f"canonical {flops_per_img / 1e9:.1f} GFLOP/img -> achieved "
             f"{achieved_tflops:.1f} TFLOP/s = {mfu * 100:.1f}% MFU of "
             f"{peak_tflops:.0f} peak | target 0.95*roofline = "
-            f"{target:.1f} img/s on {kind or 'unknown device'}",
+            f"{target:.1f} img/s on {kind or 'unknown device'}"
+            + infer_txt,
             file=sys.stderr)
     else:
         vs_baseline = 0.0

@@ -29,9 +29,88 @@ from semanticsegmentation_tensorflow_tpu.utils.profiling import (
     value_sync as _sync,
 )
 
+# sources whose edits can change any model's counted FLOPs — the cache key
+# for every canonical-FLOPs entry carries their content hash, so a stale
+# roofline denominator can never be silently reused (ADVICE r2).
+_MODEL_SOURCES = (
+    "train/step.py", "train/loss.py", "train/state.py", "train/metrics.py",
+    "models/fcn8s.py", "models/unet.py", "models/segnet.py",
+    "models/deeplab.py", "models/vgg16.py", "models/common.py",
+    "ops/pool.py", "ops/fast_upsample.py", "data/augment.py",
+)
+
+
+def _models_hash() -> str:
+    import hashlib
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "semanticsegmentation_tensorflow_tpu")
+    h = hashlib.sha256()
+    for rel in _MODEL_SOURCES:
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_FLOPS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "canonical_flops.json")
+
+
+def _canonical_flops_per_img(model_name: str, batch: int, h: int, w: int,
+                             num_classes: int, step, batch_dict,
+                             canon_kwargs: dict) -> float | None:
+    """XLA-counted FLOPs/image of the CANONICAL model under the measured
+    step — the semantic workload (perf reformulations like the packed stem
+    deliberately run MORE flops; counting those would inflate MFU). Cached
+    in canonical_flops.json: the count costs a full extra XLA compile
+    (minutes through this tunneled remote-compile service)."""
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    key = (f"{model_name}-b{batch}-{h}x{w}-nc{num_classes}-adam-aug-metrics-"
+           + "-".join(f"{k}={v}" for k, v in sorted(canon_kwargs.items()))
+           + "-" + _models_hash())
+    try:
+        with open(_FLOPS_PATH) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    if key in cache:
+        return float(cache[key])
+    try:
+        canon = build_model(model_name, num_classes=num_classes,
+                            **canon_kwargs)
+        state = create_train_state(canon, jax.random.key(0),
+                                   (batch, h, w, 3),
+                                   make_optimizer("adam", 1e-4))
+        cost = (jax.jit(lambda s, b: step(s, b))
+                .lower(state, batch_dict).compile().cost_analysis())
+        flops = float((cost or {}).get("flops", 0.0))
+        del state
+    except Exception as e:  # count failures must not kill the sweep
+        print(f"  canonical-flops count failed for {model_name}: {e!r}",
+              file=sys.stderr)
+        return None
+    if flops <= 0:
+        return None
+    cache[key] = flops / batch
+    with open(_FLOPS_PATH, "w") as f:
+        json.dump(cache, f, indent=2)
+    return flops / batch
+
+
+def _peak_tflops() -> float:
+    from bench import DEFAULT_PEAK, PEAK_BF16_TFLOPS
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    return next((v for k, v in PEAK_BF16_TFLOPS.items() if k in kind),
+                DEFAULT_PEAK)
+
 
 def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
-                display: str | None = None, **kwargs) -> dict:
+                display: str | None = None, num_classes: int = 2,
+                canon_kwargs: dict | None = None, **kwargs) -> dict:
     from semanticsegmentation_tensorflow_tpu.data import make_augment_fn
     from semanticsegmentation_tensorflow_tpu.models import build_model
     from semanticsegmentation_tensorflow_tpu.train import (
@@ -41,15 +120,15 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
 
     from semanticsegmentation_tensorflow_tpu.config import DataConfig
 
-    model = build_model(model_name, num_classes=2, **kwargs)
+    model = build_model(model_name, num_classes=num_classes, **kwargs)
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3),
                                make_optimizer("adam", 1e-4))
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
-    step = make_train_step(num_classes=2, augment_fn=aug)
+    step = make_train_step(num_classes=num_classes, augment_fn=aug)
     rng = np.random.default_rng(0)
     b = {"image": jnp.asarray(rng.integers(0, 256, (batch, h, w, 3)).astype(np.uint8)),
-         "label": jnp.asarray(rng.integers(0, 2, (batch, h, w)).astype(np.int32))}
+         "label": jnp.asarray(rng.integers(0, num_classes, (batch, h, w)).astype(np.int32))}
     state, out = step(state, b)
     _sync(out["loss"])
     t0 = time.perf_counter()
@@ -57,9 +136,20 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
         state, out = step(state, b)
     _sync(out["loss"])
     dt = time.perf_counter() - t0
-    return {"name": f"{display or model_name}_train", "batch": batch,
-            "images_per_sec": round(batch * steps / dt, 2),
-            "ms_per_step": round(dt / steps * 1000, 2)}
+    ips = batch * steps / dt
+    row = {"name": f"{display or model_name}_train", "batch": batch,
+           "images_per_sec": round(ips, 2),
+           "ms_per_step": round(dt / steps * 1000, 2)}
+    # roofline context per model (VERDICT r2: a throughput number without a
+    # canonical-FLOPs denominator cannot be prioritized or judged)
+    fpi = _canonical_flops_per_img(model_name, batch, h, w, num_classes,
+                                   step, b, dict(canon_kwargs or {}, **kwargs))
+    if fpi:
+        peak = _peak_tflops()
+        row["canonical_gflop_per_img"] = round(fpi / 1e9, 1)
+        row["achieved_tflops"] = round(ips * fpi / 1e12, 1)
+        row["mfu"] = round(ips * fpi / 1e12 / peak, 4)
+    return row
 
 
 def _make_fcn8s_predictor(batch: int):
@@ -166,16 +256,25 @@ def main() -> int:
     results = []
     # batch sizes are the measured-best per model on v5e (batch sweeps
     # 2026-08-17: fcn8s flat 16/24/32; segnet/unet flat 8/16 — bandwidth-
-    # bound; deeplab os8 27->73 img/s going 4->8)
-    for name, bs, kw in [
-        ("fcn8s", 16, {}),
-        ("unet", 8, {}),
-        ("segnet", 8, {}),
-        ("deeplab", 8, {}),
-        ("deeplab_os16", 8, {"output_stride": 16}),
+    # bound; deeplab os8 27->73 img/s going 4->8). The canonical (MFU
+    # denominator) model disables perf reformulations that change the FLOP
+    # count (packed stem); rows: (display, model, batch, h, w, nc, kwargs).
+    unpacked = {"canon_kwargs": {"packed_stage1": False}}
+    for disp, name, bs, bh, bw, nc, kw in [
+        ("fcn8s", "fcn8s", 16, 384, 1248, 2, dict(unpacked)),
+        # U-Net at its preset workload (BASELINE config 3: Cityscapes
+        # 19-class 256x512 crops — what unet_cityscapes trains) AND at
+        # full KITTI resolution for cross-model comparison
+        ("unet_cityscapes", "unet", 8, 256, 512, 19, {}),
+        ("unet_kitti_fullres", "unet", 8, 384, 1248, 2, {}),
+        ("segnet", "segnet", 8, 384, 1248, 2, dict(unpacked)),
+        ("deeplab", "deeplab", 8, 384, 1248, 2, {}),
+        ("deeplab_os16", "deeplab", 8, 384, 1248, 2,
+         {"output_stride": 16}),
     ]:
-        r = bench_train(name.split("_os")[0], bs, 384, 1248, steps,
-                        display=name, **kw)
+        canon_kwargs = kw.pop("canon_kwargs", None)
+        r = bench_train(name, bs, bh, bw, steps, display=disp,
+                        num_classes=nc, canon_kwargs=canon_kwargs, **kw)
         print(r)
         results.append(r)
     for bs in (1, 8):

@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height across N chips (2-D data x "
                         "spatial mesh; disables random crop)")
+    p.add_argument("--cache-gb", type=float, default=None,
+                   help="RAM budget for the decoded-image cache (LRU; "
+                        "default 2.0, 0 disables). Raise it to pin a large "
+                        "dataset like Cityscapes fully in RAM")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
@@ -137,8 +141,14 @@ def main(argv=None):
     print(f"model={cfg.model} devices={n_dev} "
           f"mesh={mesh_kind} train_images={n_train}")
 
+    cache_kw = {}
+    if args.cache_gb is not None:
+        if args.cache_gb <= 0:
+            cache_kw["cache"] = False
+        else:
+            cache_kw["cache_bytes"] = int(args.cache_gb * (1 << 30))
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
-                         seed=tr.seed, mesh=mesh)
+                         seed=tr.seed, mesh=mesh, **cache_kw)
 
     if args.pallas_preprocess and args.spatial > 1:
         # the Pallas normalize kernel cannot be partitioned by XLA's SPMD

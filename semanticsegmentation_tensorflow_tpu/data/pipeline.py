@@ -29,23 +29,39 @@ class BatchLoader:
     to loss and metrics.
     """
 
+    # default RAM budget for the decoded-example cache. KITTI road fits in
+    # ~0.7 GB; an unbounded cache over e.g. the Cityscapes train split
+    # (2975 decoded 512x1024 examples ~= 8 GB) would exhaust the one-core
+    # dev host, so eviction is LRU under this byte cap.
+    DEFAULT_CACHE_BYTES = 2 << 30
+
     def __init__(self, dataset: KittiRoadDataset, batch_size: int,
                  pad_multiple: int = 32, seed: int = 0, mesh=None,
                  drop_remainder: bool = True, cache: bool = True,
+                 cache_bytes: int | None = None,
                  process_index: int | None = None,
                  process_count: int | None = None):
         """``batch_size`` is the GLOBAL batch. On a multi-host pod each host
         loads only its 1/process_count slice of every batch (same shuffled
         order everywhere — the seed is shared — so slices are disjoint and
         exhaustive); pass process_index/process_count explicitly in tests.
+
+        ``cache_bytes`` caps the decoded-example RAM cache (LRU eviction);
+        None = DEFAULT_CACHE_BYTES, ``cache=False`` disables caching.
         """
+        from collections import OrderedDict
+
         self.ds = dataset
         self.batch_size = batch_size
         self.pad_multiple = pad_multiple
         self.mesh = mesh
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
-        self._cache: dict[str, tuple] | None = {} if cache else None
+        self._cache: "OrderedDict[str, tuple] | None" = (
+            OrderedDict() if cache else None)
+        self._cache_bytes = (self.DEFAULT_CACHE_BYTES if cache_bytes is None
+                             else int(cache_bytes))
+        self._cache_used = 0
         # process-sharding is tied to mesh use: a mesh-less consumer (e.g.
         # single-host eval) must see full global batches even inside a
         # multi-process program
@@ -61,12 +77,23 @@ class BatchLoader:
                 f"process_count {self.process_count}")
 
     # -- host-side example assembly -------------------------------------
+    @staticmethod
+    def _example_nbytes(ex: tuple) -> int:
+        return sum(int(a.nbytes) for a in ex if hasattr(a, "nbytes"))
+
     def _get(self, path: str):
         if self._cache is not None and path in self._cache:
+            self._cache.move_to_end(path)  # LRU: recent at the end
             return self._cache[path]
         ex = self.ds.load_example(path)
         if self._cache is not None:
-            self._cache[path] = ex
+            size = self._example_nbytes(ex)
+            if size <= self._cache_bytes:  # never admit > the whole budget
+                self._cache[path] = ex
+                self._cache_used += size
+                while self._cache_used > self._cache_bytes and self._cache:
+                    _, old = self._cache.popitem(last=False)
+                    self._cache_used -= self._example_nbytes(old)
         return ex
 
     def _pad(self, img, lbl, val):

@@ -61,11 +61,14 @@ class Predictor:
                               palette, alpha)
 
         def fwd_labels(variables, image_u8: jax.Array) -> jax.Array:
-            # u8 label map only — 12x less device->host traffic than the
+            # minimal label map — 12x less device->host traffic than the
             # overlay; the sweep path rebuilds the overlay on host
-            # (ops.overlay.host_overlay) from the image it already decoded
-            return jnp.argmax(logits_fn(variables, image_u8),
-                              axis=-1).astype(jnp.uint8)
+            # (ops.overlay.host_overlay) from the image it already decoded.
+            # u8 only while class ids fit (KITTI/Cityscapes); wider label
+            # spaces widen the wire dtype instead of silently wrapping.
+            logits = logits_fn(variables, image_u8)
+            label_dt = jnp.uint8 if logits.shape[-1] <= 256 else jnp.int32
+            return jnp.argmax(logits, axis=-1).astype(label_dt)
 
         # variables are a jit ARGUMENT, not a closure capture: captured
         # arrays become HLO constants, which baked all 135M fc4096 params

@@ -25,16 +25,37 @@ def _encode_impl(rng) -> "jax.Array":
     return jax.numpy.asarray(np.frombuffer(name, dtype=np.uint8))
 
 
+# impl names jax.random.key accepts; used to resolve an abstract key's
+# dtype tag (str(dtype) is the SHORT tag, e.g. 'key<fry>' for threefry2x32,
+# which jax.random.key(impl=...) does not accept)
+_KNOWN_PRNG_IMPLS = ("threefry2x32", "rbg", "unsafe_rbg")
+
+
+def _impl_from_dtype(dtype) -> str:
+    """Resolve a key dtype (or its short tag) to a jax.random impl name."""
+    for impl in _KNOWN_PRNG_IMPLS:
+        try:
+            if jax.eval_shape(lambda: jax.random.key(0, impl=impl)
+                              ).dtype == dtype:
+                return impl
+        except Exception:  # noqa: BLE001 — impl absent in this jax build
+            continue
+    # last resort: maybe the tag already is a valid impl name
+    tag = str(dtype)
+    return tag[4:-1] if tag.startswith("key<") else tag
+
+
 def _rng_template_leaves(rng):
     """(rng_data, rng_impl) template leaves from a concrete OR abstract
     rng — key_data/key_impl reject ShapeDtypeStructs, so for abstract
-    templates the impl name is parsed from the key dtype ('key<rbg>')."""
+    templates the impl is resolved from the key dtype via
+    ``_impl_from_dtype`` (the dtype's str() is a short tag like
+    'key<fry>', not the impl name jax.random.key accepts)."""
     import numpy as np
 
     if isinstance(rng, jax.Array):
         return jax.random.key_data(rng), _encode_impl(rng)
-    name = str(rng.dtype)
-    name = name[4:-1] if name.startswith("key<") else name
+    name = _impl_from_dtype(rng.dtype)
     sample = jax.eval_shape(lambda: jax.random.key_data(
         jax.random.key(0, impl=name)))
     return (jax.ShapeDtypeStruct(sample.shape, sample.dtype),

@@ -41,7 +41,15 @@ def train(state: TrainState, train_step: Callable, batches_per_epoch: Callable[[
         for batch in batches_per_epoch():
             n_imgs += int(batch["label"].shape[0])
             state, out = train_step(state, batch)
-            metrics = metrics.update(out["cm"], out["loss"])
+            # a make_train_step(with_metrics=False) step emits no confusion
+            # matrix; accumulate the loss alone (mIoU/acc then read 0 in the
+            # epoch summary, matching the reference's loss-only train loop)
+            if "cm" in out:
+                metrics = metrics.update(out["cm"], out["loss"])
+            else:
+                metrics = metrics._replace(
+                    loss_sum=metrics.loss_sum + out["loss"],
+                    count=metrics.count + 1)
             step += 1
             if log_every and step % log_every == 0:
                 hooks.on_log(step, {"loss": jax.device_get(out["loss"])})

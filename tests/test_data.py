@@ -164,3 +164,34 @@ def test_batch_loader_wrap_padding_marked_invalid(tmp_path):
     assert last["image"].shape[0] == 2        # static shape preserved
     assert last["valid"][0].all()             # the one real example
     assert not last["valid"][1].any()         # the wrap-padded duplicate
+
+
+def test_batch_loader_cache_is_byte_bounded(tmp_path):
+    """The decoded-example RAM cache evicts LRU under a byte budget
+    (VERDICT r2: an unbounded cache would grow to many GB over a
+    Cityscapes epoch on this one-core host), and batches are identical
+    with a tiny cache, the default cache, and no cache."""
+    from semanticsegmentation_tensorflow_tpu.data import (
+        KittiRoadDataset, generate_synthetic_kitti,
+    )
+    from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
+
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=6, n_test=0,
+                                 h=32, w=48)
+    ds = KittiRoadDataset(d, image_size=(32, 48))
+    one_ex = BatchLoader._example_nbytes(ds.load_example(ds.train_images[0]))
+
+    tiny = BatchLoader(ds, batch_size=2, pad_multiple=16, seed=0,
+                       cache_bytes=2 * one_ex)
+    big = BatchLoader(ds, batch_size=2, pad_multiple=16, seed=0)
+    off = BatchLoader(ds, batch_size=2, pad_multiple=16, seed=0, cache=False)
+    for _ in range(2):  # two epochs: exercise hits + evictions
+        for bt, bb, bo in zip(tiny._host_epoch(), big._host_epoch(),
+                              off._host_epoch()):
+            for k in ("image", "label", "valid"):
+                np.testing.assert_array_equal(bt[k], bb[k])
+                np.testing.assert_array_equal(bt[k], bo[k])
+        assert len(tiny._cache) <= 2
+        assert tiny._cache_used <= 2 * one_ex
+    assert len(big._cache) == 6       # all 6 fit under the default budget
+    assert off._cache is None

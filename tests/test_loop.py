@@ -127,3 +127,58 @@ def test_checkpoint_restore_into_abstract_template(tmp_path):
     mgr.close()
     assert (str(jax.random.key_impl(restored.rng))
             == str(jax.random.key_impl(st.rng)))
+
+
+def test_loop_with_metrics_free_step(tmp_path):
+    """train() must work with make_train_step(with_metrics=False) — the
+    step then emits no confusion matrix (bench.py's configuration), and the
+    loop accumulates the loss alone instead of KeyError-ing on out['cm']."""
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=2, n_test=0,
+                                 h=32, w=32)
+    ds = KittiRoadDataset(d, image_size=(32, 32))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=16)
+    model = build_model("unet", num_classes=2, base_features=8)
+    state = create_train_state(model, jax.random.key(0), (2, 32, 32, 3),
+                               make_optimizer("adam", 1e-3))
+    step = make_train_step(num_classes=2, with_metrics=False)
+    state, summary = train(state, step, loader.epoch, epochs=2,
+                           num_classes=2, log_every=0)
+    assert int(jax.device_get(state.step)) == 2
+    assert np.isfinite(summary["loss"])
+    assert float(summary["miou"]) == 0.0  # no cm accumulated
+
+
+def test_checkpoint_abstract_threefry_template_without_metadata(tmp_path):
+    """ADVICE r2: with item_metadata unavailable, restoring an abstract
+    template whose rng is a threefry key must resolve the impl from the
+    key dtype TAG ('key<fry>') to the real impl name instead of raising
+    'unrecognized PRNG implementation'."""
+    import jax
+
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.train import create_train_state
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
+
+    model = build_model("unet", num_classes=2, base_features=4)
+    tx = make_optimizer("adam", 1e-4)
+    st = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+    st = st.replace(rng=jax.random.key(3, impl="threefry2x32"))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(st, wait=True)
+
+    def broken_metadata(step):
+        raise RuntimeError("metadata unavailable")
+
+    mgr._mgr.item_metadata = broken_metadata  # force the fallback branch
+    abstract_rng = jax.eval_shape(
+        lambda: jax.random.key(0, impl="threefry2x32"))
+    template = st.replace(rng=abstract_rng)
+    restored = mgr.restore(template)
+    mgr.close()
+    assert str(jax.random.key_impl(restored.rng)) == "threefry2x32"
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(st.rng)))
