@@ -48,13 +48,17 @@ class FCN8s(nn.Module):
     # Pallas pool inside the packed stage1 (None = auto on TPU); set False
     # under a compiler-partitioned (2-D spatial) mesh.
     pallas_pool: bool | None = None
+    # 'f2'/'f4': fused Winograd kernels for the eligible stage2-5 convs
+    # (models/vgg16.py docstring); same params/checkpoints, fewer MXU
+    # multiplies. Set None under a compiler-partitioned (2-D spatial) mesh.
+    winograd: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         ends = VGG16(fc_features=self.fc_features, width_mult=self.width_mult,
                      use_bn=self.use_bn, dropout_rate=self.dropout_rate,
                      packed_stage1=self.packed_stage1,
-                     pallas_pool=self.pallas_pool,
+                     pallas_pool=self.pallas_pool, winograd=self.winograd,
                      dtype=self.dtype, name="vgg16")(x, train=train)
 
         def score(t, name):

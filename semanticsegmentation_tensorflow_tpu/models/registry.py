@@ -36,6 +36,8 @@ def spmd_safe_kwargs(name: str) -> dict[str, Any]:
     (which partitions fine). Every entry point that builds a model for a
     spatial mesh should merge these in (setdefault, so explicit user
     choices still win and get a clear partitioner error if forced)."""
-    if name in ("fcn8s", "fcn16s", "fcn32s", "segnet"):
+    if name in ("fcn8s", "fcn16s", "fcn32s"):
+        return {"pallas_pool": False, "winograd": None}
+    if name == "segnet":
         return {"pallas_pool": False}
     return {}

@@ -57,6 +57,12 @@ class VGG16(nn.Module):
     # run each pooled stage's last bias+relu AFTER the pool (bit-exact — see
     # ops/packed_stem.PooledConvBlock — but 1/4-resolution elementwise work)
     deferred_pool_bias: bool = True
+    # 'f2' / 'f4': compute eligible 3x3 convs (stages 2-5 at full lanes,
+    # undilated) with the fused Winograd kernels — 2.25x / 4x fewer MXU
+    # multiplies for the same canonical parameters (ops/pallas/winograd.py).
+    # A perf flag, not an architecture change; ineligible layers fall back
+    # to the direct conv automatically.
+    winograd: str | None = None
     # dropout on fc6/fc7, the reference's KEEP_PROB (SURVEY.md §3.1 lists it
     # among the script constants; FCN lineage uses keep_prob=0.5). 0 disables.
     dropout_rate: float = 0.5
@@ -79,7 +85,8 @@ class VGG16(nn.Module):
             if dilate_stage or self.use_bn or not self.deferred_pool_bias:
                 x = ConvBlock(
                     feats, n_convs=n_convs, use_bn=self.use_bn,
-                    dilation=dilation, dtype=self.dtype, name=f"stage{i}",
+                    dilation=dilation, winograd=self.winograd,
+                    dtype=self.dtype, name=f"stage{i}",
                 )(x, train=train)
                 if dilate_stage:
                     dilation *= 2  # stride folded into dilation
@@ -89,6 +96,7 @@ class VGG16(nn.Module):
                     ends[f"pool{i}"] = x
             else:
                 x = PooledConvBlock(feats, n_convs=n_convs, dilation=dilation,
+                                    winograd=self.winograd,
                                     dtype=self.dtype, name=f"stage{i}")(x)
                 ends[f"pool{i}"] = x
 

@@ -188,23 +188,40 @@ class PooledConvBlock(nn.Module):
     features: int
     n_convs: int = 2
     dilation: int = 1
+    # 'f2'/'f4': route eligible convs through the fused Winograd kernels
+    # (ops/pallas/winograd.py) — fewer MXU multiplies, canonical params.
+    # The last conv uses the raw (no-epilogue) form so its bias+relu stay
+    # deferred past the pool.
+    winograd: str | None = None
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from semanticsegmentation_tensorflow_tpu.models.common import (
+            conv3x3_bias_relu, winograd_ok,
+        )
         from semanticsegmentation_tensorflow_tpu.ops.pool import max_pool
 
         d = self.dilation
         for i in range(self.n_convs - 1):
-            x = nn.Conv(self.features, (3, 3), kernel_dilation=(d, d),
-                        padding="SAME", dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.relu(x)
+            ki, bi = _ConvParams(x.shape[-1], self.features,
+                                 name=f"conv{i}")()
+            x = conv3x3_bias_relu(x, ki, bi, dtype=self.dtype, dilation=d,
+                                  winograd=self.winograd)
         k, b = _ConvParams(x.shape[-1], self.features,
                            name=f"conv{self.n_convs - 1}")()
-        z = lax.conv_general_dilated(
-            x.astype(self.dtype), k.astype(self.dtype), window_strides=(1, 1),
-            padding=((d, d), (d, d)), rhs_dilation=(d, d),
-            dimension_numbers=_DN)
+        if winograd_ok(x, k.shape, self.winograd, d):
+            from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
+                winograd_conv3x3,
+            )
+            z = winograd_conv3x3(x.astype(self.dtype), k, self.winograd,
+                                 jax.default_backend() != "tpu")
+        else:
+            z = lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((d, d), (d, d)), rhs_dilation=(d, d),
+                dimension_numbers=_DN)
         return nn.relu(max_pool(z, 2) + b.astype(self.dtype))
 
 

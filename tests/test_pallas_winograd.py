@@ -105,3 +105,68 @@ def test_eligibility_gate():
     assert not eligible((16, 191, 624, 128), (3, 3, 128, 128))  # H % m
     assert not eligible((16, 24, 78, 512), (3, 3, 512, 512), "f4")  # W % 4
     assert eligible((16, 24, 78, 512), (3, 3, 512, 512), "f2")
+
+
+# ---------------------------------------------------------------------------
+# model integration: the flag changes the program, never the parameters
+# ---------------------------------------------------------------------------
+
+def test_convblock_winograd_same_params_and_values():
+    """ConvBlock(winograd='f2') == ConvBlock() at 128 lanes: identical
+    param tree AND init values (same flax paths -> same init rng), outputs
+    equal to winograd tolerance, grads flow to canonical params."""
+    from semanticsegmentation_tensorflow_tpu.models.common import ConvBlock
+
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 128), jnp.float32)
+    ref = ConvBlock(128, n_convs=2, dtype=jnp.float32)
+    win = ConvBlock(128, n_convs=2, winograd="f2", dtype=jnp.float32)
+    vr = ref.init(jax.random.key(1), x)
+    vw = win.init(jax.random.key(1), x)
+    assert jax.tree.structure(vr) == jax.tree.structure(vw)
+    for a, b in zip(jax.tree.leaves(vr), jax.tree.leaves(vw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    yr = ref.apply(vr, x)
+    yw = win.apply(vr, x)
+    np.testing.assert_allclose(np.asarray(yw), np.asarray(yr),
+                               rtol=2e-3, atol=2e-3)
+
+    gr = jax.grad(lambda v: jnp.sum(jnp.sin(ref.apply(v, x))))(vr)
+    gw = jax.grad(lambda v: jnp.sum(jnp.sin(win.apply(v, x))))(vr)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gw)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_pooled_convblock_winograd_matches():
+    """PooledConvBlock with winograd: inner convs fused-epilogue, last conv
+    raw with the bias+relu still deferred past the pool."""
+    from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
+        PooledConvBlock,
+    )
+
+    x = jax.random.normal(jax.random.key(2), (1, 8, 8, 128), jnp.float32)
+    ref = PooledConvBlock(128, n_convs=2, dtype=jnp.float32)
+    win = PooledConvBlock(128, n_convs=2, winograd="f2", dtype=jnp.float32)
+    v = ref.init(jax.random.key(3), x)
+    assert (jax.tree.structure(v)
+            == jax.tree.structure(win.init(jax.random.key(3), x)))
+    np.testing.assert_allclose(np.asarray(win.apply(v, x)),
+                               np.asarray(ref.apply(v, x)),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fcn8s_winograd_param_tree_identical():
+    """The model flag is checkpoint-neutral (abstract init only — no
+    compute; the real-value equivalence is the module tests above)."""
+    from semanticsegmentation_tensorflow_tpu.models import FCN8s
+
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    t1 = jax.eval_shape(FCN8s(num_classes=2, fc_features=64).init,
+                        jax.random.key(0), x)
+    t2 = jax.eval_shape(
+        FCN8s(num_classes=2, fc_features=64, winograd="f2").init,
+        jax.random.key(0), x)
+    assert jax.tree.structure(t1) == jax.tree.structure(t2)
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        assert a.shape == b.shape and a.dtype == b.dtype
