@@ -72,6 +72,10 @@ class DeepLabASPP(nn.Module):
     # v5e, os8).
     use_bn: bool = False
     dropout_rate: float = 0.5
+    # 'f2'/'f4': fused Winograd kernels for the UNDILATED full-lane 3x3
+    # stages (2-3 at os8, 2-4 at os16); dilated stages keep the direct
+    # atrous conv (ops/pallas/winograd.py eligibility). Perf flag only.
+    winograd: str | None = None
     dtype: jnp.dtype = DEFAULT_DTYPE
     output_stride: int = 8
 
@@ -93,6 +97,7 @@ class DeepLabASPP(nn.Module):
                      dilate_from={8: 4, 16: 5}[self.output_stride],
                      fc_features=512,
                      dropout_rate=self.dropout_rate,
+                     winograd=self.winograd,
                      dtype=self.dtype, name="vgg16")(x, train=train)
         x = ASPP(features=self.aspp_features, rates=self.rates,
                  use_bn=self.use_bn, dtype=self.dtype, name="aspp")(

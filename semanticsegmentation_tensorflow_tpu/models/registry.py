@@ -39,5 +39,7 @@ def spmd_safe_kwargs(name: str) -> dict[str, Any]:
     if name in ("fcn8s", "fcn16s", "fcn32s"):
         return {"pallas_pool": False, "winograd": None}
     if name == "segnet":
-        return {"pallas_pool": False}
+        return {"pallas_pool": False, "winograd": None}
+    if name in ("unet", "deeplab"):
+        return {"winograd": None}
     return {}

@@ -41,6 +41,10 @@ class SegNet(nn.Module):
     # Pallas fused stage1 tail (in-kernel argmax pool; None = auto on TPU).
     # Set False under a compiler-partitioned mesh (registry.spmd_safe_kwargs).
     pallas_pool: bool | None = None
+    # 'f2'/'f4': fused Winograd kernels for eligible full-lane 3x3 convs
+    # (encoder stages 2-5 + decoder stages 2-5; ops/pallas/winograd.py).
+    # Same canonical params; set None under a compiler-partitioned mesh.
+    winograd: str | None = None
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
 
@@ -64,6 +68,7 @@ class SegNet(nn.Module):
                 indices.append(idx)
                 continue
             x = ConvBlock(feats, n_convs=n_convs, use_bn=self.use_bn,
+                          winograd=self.winograd,
                           dtype=self.dtype, name=f"enc{i}")(x, train=train)
             x, idx = max_pool_with_argmax(x, 2)
             indices.append(idx)
@@ -74,6 +79,7 @@ class SegNet(nn.Module):
             out_feats = max(8, int(out_feats * self.width_mult))
             x = max_unpool(x, indices[i - 1], 2)
             x = ConvBlock(out_feats, n_convs=n_convs, use_bn=self.use_bn,
+                          winograd=self.winograd,
                           dtype=self.dtype, name=f"dec{i}")(x, train=train)
 
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)

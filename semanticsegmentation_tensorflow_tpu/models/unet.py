@@ -24,6 +24,9 @@ class UNet(nn.Module):
     base_features: int = 64
     depth: int = 4
     use_bn: bool = False
+    # 'f2'/'f4': fused Winograd kernels for eligible full-lane 3x3 convs
+    # (ops/pallas/winograd.py); same canonical params. Perf flag only.
+    winograd: str | None = None
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @property
@@ -35,22 +38,22 @@ class UNet(nn.Module):
         skips: list[jax.Array] = []
         feats = self.base_features
         for i in range(self.depth):
-            x = ConvBlock(feats, use_bn=self.use_bn, dtype=self.dtype,
-                          name=f"down{i}")(x, train=train)
+            x = ConvBlock(feats, use_bn=self.use_bn, winograd=self.winograd,
+                          dtype=self.dtype, name=f"down{i}")(x, train=train)
             skips.append(x)
             x = max_pool(x, 2)
             feats *= 2
 
-        x = ConvBlock(feats, use_bn=self.use_bn, dtype=self.dtype,
-                      name="bottleneck")(x, train=train)
+        x = ConvBlock(feats, use_bn=self.use_bn, winograd=self.winograd,
+                      dtype=self.dtype, name="bottleneck")(x, train=train)
 
         for i in reversed(range(self.depth)):
             feats //= 2
             x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2), padding="SAME",
                                  dtype=self.dtype, name=f"up{i}")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)
-            x = ConvBlock(feats, use_bn=self.use_bn, dtype=self.dtype,
-                          name=f"upconv{i}")(x, train=train)
+            x = ConvBlock(feats, use_bn=self.use_bn, winograd=self.winograd,
+                          dtype=self.dtype, name=f"upconv{i}")(x, train=train)
 
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
         return x.astype(jnp.float32)

@@ -170,3 +170,22 @@ def test_fcn8s_winograd_param_tree_identical():
     assert jax.tree.structure(t1) == jax.tree.structure(t2)
     for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("segnet", {}), ("unet", {}), ("deeplab", {}),
+    ("deeplab", {"output_stride": 16}),
+])
+def test_all_models_winograd_checkpoint_neutral(name, kw):
+    """winograd='f2' never changes any model's param tree (abstract init)."""
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+
+    x = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    t1 = jax.eval_shape(build_model(name, num_classes=3, **kw).init,
+                        jax.random.key(0), x)
+    t2 = jax.eval_shape(
+        build_model(name, num_classes=3, winograd="f2", **kw).init,
+        jax.random.key(0), x)
+    assert jax.tree.structure(t1) == jax.tree.structure(t2)
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        assert a.shape == b.shape and a.dtype == b.dtype

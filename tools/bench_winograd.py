@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Winograd per-layer TPU microbenchmark + on-chip numerics check.
+
+Times each eligible VGG conv shape (fwd and fwd+bwd) three ways — direct
+XLA conv, Winograd f2, Winograd f4 — on the real chip, and verifies the
+kernel against the bf16 direct conv at each shape. This drives the
+per-layer accept/reject decision for the production flag (the measured
+table goes into ARCHITECTURE.md).
+
+    python tools/bench_winograd.py [--quick] [--fwd-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
+    eligible, winograd_conv_bias_relu,
+)
+from semanticsegmentation_tensorflow_tpu.ops.winograd import direct_conv2d
+
+# (name, H, W, Cin, Cout) at bench batch 16, KITTI 1248x384 padded shapes
+VARIANTS_TO_RUN = ("f2", "f4")
+
+LAYERS = [
+    ("conv2_1", 192, 624, 64, 128),     # half-lane input: ineligible (ctrl)
+    ("conv2_2", 192, 624, 128, 128),
+    ("conv3_1", 96, 312, 128, 256),
+    ("conv3_2", 96, 312, 256, 256),
+    ("conv4_1", 48, 156, 256, 512),
+    ("conv4_2", 48, 156, 512, 512),
+    ("conv5_x", 24, 78, 512, 512),
+]
+
+
+def _sync(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def bench_one(name, h, w, cin, cout, batch, steps, fwd_only):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, h, w, cin)) * 0.5,
+                    jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
+
+    def direct(x, k, b):
+        return jax.nn.relu(
+            direct_conv2d(x, k.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+            + b.astype(jnp.bfloat16))
+
+    row = {"layer": name, "shape": f"{h}x{w}x{cin}->{cout}"}
+    impls = {"direct": direct}
+    for v in VARIANTS_TO_RUN:
+        if eligible(x.shape, k.shape, v):
+            impls[v] = (lambda vv: lambda x, k, b:
+                        winograd_conv_bias_relu(x, k, b, vv))(v)
+
+    ref = None
+    for label, fn in impls.items():
+        if fwd_only:
+            f = jax.jit(fn)
+        else:
+            def f(x, k, b, fn=fn):
+                def loss(x, k, b):
+                    return jnp.sum(fn(x, k, b).astype(jnp.float32) ** 2)
+                return jax.grad(loss, argnums=(0, 1, 2))(x, k, b)
+            f = jax.jit(f)
+        t_c0 = time.perf_counter()
+        out = f(x, k, b)
+        _sync(jax.tree.leaves(out)[0])
+        compile_s = time.perf_counter() - t_c0
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = f(x, k, b)
+        _sync(jax.tree.leaves(out)[0])
+        ms = (time.perf_counter() - t0) / steps * 1000
+        row[label + "_ms"] = round(ms, 3)
+        row[label + "_compile_s"] = round(compile_s, 1)
+        # numerics vs the f32 direct conv, normalized (fwd only)
+        y = jnp.asarray(fn(x, k, b), jnp.float32) if fwd_only else None
+        if fwd_only:
+            if ref is None:
+                exact = jax.nn.relu(
+                    direct_conv2d(x.astype(jnp.float32), k) + b)
+                ref = (exact, float(jnp.std(exact)) + 1e-30)
+            err = float(jnp.sqrt(jnp.mean((y - ref[0]) ** 2))) / ref[1]
+            row[label + "_relrms"] = round(err, 6)
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--layers", default=None,
+                   help="comma-separated layer-name filter")
+    p.add_argument("--variants", default="f2,f4",
+                   help="winograd variants to bench")
+    args = p.parse_args()
+    global VARIANTS_TO_RUN
+    VARIANTS_TO_RUN = tuple(args.variants.split(","))
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import (
+        setup_runtime,
+    )
+    setup_runtime()
+    steps = 5 if args.quick else 20
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    for name, h, w, cin, cout in LAYERS:
+        if args.layers and name not in args.layers.split(","):
+            continue
+        row = bench_one(name, h, w, cin, cout, args.batch, steps,
+                        args.fwd_only)
+        print(row, flush=True)
+
+
+if __name__ == "__main__":
+    main()
