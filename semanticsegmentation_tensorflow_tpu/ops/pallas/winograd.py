@@ -333,10 +333,17 @@ def _from_tiles(t: jax.Array) -> jax.Array:
 
 # VMEM working-set budget per batch-tile unit: the ty window dominates
 # ((a + m) rows x a coords x wt * C f32); cap nt so it stays ~20 MB.
-_VMEM_BUDGET = 24 * 1024 * 1024
+# Env overrides exist for the tuning harness (tools/bench_winograd.py);
+# production defaults are the measured-best values.
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("WINOGRAD_VMEM_BUDGET",
+                                   24 * 1024 * 1024))
+_MAX_K = int(_os.environ.get("WINOGRAD_MAX_K", 2))
 
 
-def _fwd_call(xt, u, b, ot, *, variant, epilogue, interpret, max_k=2):
+def _fwd_call(xt, u, b, ot, *, variant, epilogue, interpret, max_k=None):
+    max_k = _MAX_K if max_k is None else max_k
     var = VARIANTS[variant]
     m, a = var.m, var.a
     h, wt, m_, n, c = xt.shape
@@ -373,7 +380,8 @@ def _fwd_call(xt, u, b, ot, *, variant, epilogue, interpret, max_k=2):
     )(*args)
 
 
-def _wgrad_call(xt, gt, ot, *, variant, interpret, max_k=2):
+def _wgrad_call(xt, gt, ot, *, variant, interpret, max_k=None):
+    max_k = _MAX_K if max_k is None else max_k
     var = VARIANTS[variant]
     m, a = var.m, var.a
     h, wt, m_, n, c = xt.shape

@@ -31,6 +31,7 @@ from semanticsegmentation_tensorflow_tpu.ops.winograd import direct_conv2d
 
 # (name, H, W, Cin, Cout) at bench batch 16, KITTI 1248x384 padded shapes
 VARIANTS_TO_RUN = ("f2", "f4")
+SKIP_DIRECT = False
 
 LAYERS = [
     ("conv2_1", 192, 624, 64, 128),     # half-lane input: ineligible (ctrl)
@@ -60,7 +61,7 @@ def bench_one(name, h, w, cin, cout, batch, steps, fwd_only):
             + b.astype(jnp.bfloat16))
 
     row = {"layer": name, "shape": f"{h}x{w}x{cin}->{cout}"}
-    impls = {"direct": direct}
+    impls = {} if SKIP_DIRECT else {"direct": direct}
     for v in VARIANTS_TO_RUN:
         if eligible(x.shape, k.shape, v):
             impls[v] = (lambda vv: lambda x, k, b:
@@ -108,9 +109,13 @@ def main():
                    help="comma-separated layer-name filter")
     p.add_argument("--variants", default="f2,f4",
                    help="winograd variants to bench")
+    p.add_argument("--skip-direct", action="store_true",
+                   help="skip the direct-conv baseline (its standalone jit "
+                        "compile is minutes through the tunnel)")
     args = p.parse_args()
-    global VARIANTS_TO_RUN
+    global VARIANTS_TO_RUN, SKIP_DIRECT
     VARIANTS_TO_RUN = tuple(args.variants.split(","))
+    SKIP_DIRECT = args.skip_direct
     from semanticsegmentation_tensorflow_tpu.utils.runtime import (
         setup_runtime,
     )
