@@ -19,29 +19,60 @@ import jax.numpy as jnp
 from semanticsegmentation_tensorflow_tpu.dtypes import DEFAULT_DTYPE  # noqa: E402,F401
 
 
-def winograd_ok(x: jax.Array, kernel_shape, winograd: str | None,
-                dilation: int = 1) -> bool:
-    """Layer-level gate for the fused Winograd conv (ops/pallas/winograd):
-    flag set, stride-1 undilated 3x3, spatial dims divisible by the output
-    tile, both channel widths filling the 128 TPU lanes. Ineligible layers
-    silently take the direct-conv path — the flag is a perf choice, never
-    an architecture change."""
+def winograd_impl(x_shape, kernel_shape, winograd: str | None,
+                  dilation: int = 1) -> str | None:
+    """Per-layer Winograd routing: ``'pallas'`` (the fused VMEM kernel,
+    ops/pallas/winograd.py), ``'xla'`` (ops/winograd.winograd_conv2d,
+    materialized V/M + batched MXU dot_general — suffix the variant with
+    ``x``, e.g. ``'f2x'``, to force it), or ``None`` (direct conv).
+
+    MEASURED STATUS (tools/bench_winograd.py on v5e, batch-16 KITTI
+    shapes, table in ARCHITECTURE.md): neither Winograd implementation
+    beats XLA's direct conv on the 3x3 stacks today — conv4_2 fwd runs
+    direct ~5.2 ms, fused-pallas f2 8.4 ms, materialized-XLA f2 20.0 ms
+    (the a^2/m^2 V/M HBM round-trip, ~1 GB each way at stage-4 shapes,
+    dwarfs the multiply saving; the fused kernel is choreography-bound —
+    ablations put its dots AND transform arithmetic near-free). The flag
+    therefore stays a tuning/benchmark knob, default off; the winning
+    FLOP-reduction lives in the fc6 7x7 decomposition
+    (ops/winograd.winograd_conv_large), which IS dot-dominated.
+    Ineligible layers silently fall back: the flag is a perf choice,
+    never an architecture change."""
     if not winograd or dilation != 1:
-        return False
+        return None
     from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
         eligible,
     )
-    return eligible(x.shape, kernel_shape, winograd)
+    from semanticsegmentation_tensorflow_tpu.ops.winograd import VARIANTS
+    force_xla = winograd.endswith("x")
+    base = winograd[:-1] if force_xla else winograd
+    if base not in VARIANTS:
+        raise ValueError(f"unknown winograd variant {winograd!r}")
+    if not eligible(x_shape, kernel_shape, base):
+        return None
+    return "xla" if force_xla else "pallas"
+
+
+def winograd_ok(x: jax.Array, kernel_shape, winograd: str | None,
+                dilation: int = 1) -> bool:
+    """Back-compat boolean form of :func:`winograd_impl`."""
+    return winograd_impl(x.shape, kernel_shape, winograd, dilation) is not None
 
 
 def conv3x3_bias_relu(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
                       dtype, dilation: int = 1,
                       winograd: str | None = None) -> jax.Array:
     """relu(SAME-conv3x3(x, kernel) + bias) — the VGG workhorse layer —
-    with the fused Winograd fast path when eligible. Consumes CANONICAL
+    with the Winograd fast path when eligible. Consumes CANONICAL
     parameters either way (same param tree, checkpoints, imports)."""
     x = x.astype(dtype)
-    if winograd_ok(x, kernel.shape, winograd, dilation):
+    impl = winograd_impl(x.shape, kernel.shape, winograd, dilation)
+    if impl == "xla":
+        from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+            winograd_conv2d,
+        )
+        return winograd_conv2d(x, kernel, bias, winograd.rstrip("x"), True)
+    if impl == "pallas":
         from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
             winograd_conv_bias_relu,
         )

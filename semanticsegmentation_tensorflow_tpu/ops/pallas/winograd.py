@@ -79,6 +79,8 @@ def _combine(coeffs, tensors):
         if c == 0.0 or t is None:
             continue
         term = t if c == 1.0 else (-t if c == -1.0 else c * t)
+        if _ABLATE == "notrans":
+            return term
         acc = term if acc is None else acc + term
     assert acc is not None
     return acc
@@ -97,9 +99,25 @@ def _width_transform(row: jax.Array, bt) -> list[jax.Array]:
     return [_combine(bt[j], taps) for j in range(a)]
 
 
+# Ablation knob for the tuning harness ONLY (attributes in-kernel time):
+# 'nodot' replaces the MXU contractions with a cheap slice/broadcast,
+# 'notrans' collapses every transform combine to its first nonzero term
+# (keeps the copies, drops the VPU multiply-adds). Never set in production.
+import os as _os_ab
+
+_ABLATE = _os_ab.environ.get("WINOGRAD_ABLATE", "")
+
+
 def _dot(v: jax.Array, u: jax.Array) -> jax.Array:
     """[wt, nt, C] x [C, Co] -> [wt, nt, Co] f32 (flattened MXU dot)."""
     wt, nt, c = v.shape
+    co = u.shape[-1]
+    if _ABLATE == "nodot":
+        if co == c:
+            return v.astype(jnp.float32)
+        return jnp.broadcast_to(
+            jnp.sum(v, axis=-1, keepdims=True).astype(jnp.float32),
+            (wt, nt, co))
     r = jnp.dot(v.reshape(wt * nt, c), u,
                 preferred_element_type=jnp.float32)
     return r.reshape(wt, nt, u.shape[-1])

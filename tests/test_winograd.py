@@ -90,6 +90,85 @@ def test_bf16_winograd_error_bounded_vs_bf16_direct(variant, max_ratio):
     assert err_wino < 2.5e-2  # genuinely small relative to the signal
 
 
+def _relrms(got, want):
+    scale = float(jnp.std(want)) + 1e-30
+    return float(jnp.sqrt(jnp.mean(
+        (jnp.asarray(got, jnp.float32) - want) ** 2))) / scale
+
+
+@pytest.mark.parametrize("r,h,w", [(7, 12, 39), (7, 8, 8), (5, 10, 14),
+                                   (9, 9, 12)])
+def test_decomposed_large_kernel_matches_direct(r, h, w):
+    """fc6's 7x7 (and generic odd r>=5) via the F(3,3) Winograd-domain
+    tile conv: error vs the f32 direct conv stays within a bounded factor
+    of the bf16 direct conv's own error (measured ~3.1-3.8x with the
+    scanned point set — why it replaces the rejected F(2,7))."""
+    from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+        winograd_conv_large,
+    )
+    x = _rand(10, (2, h, w, 16))
+    k = _rand(11, (r, r, 16, 24), scale=0.1)
+    b = _rand(12, (24,), scale=0.1)
+    exact = jax.nn.relu(direct_conv2d(x, k) + b)
+    err_direct = _relrms(
+        jax.nn.relu(direct_conv2d(x, k, dtype=jnp.bfloat16)
+                    + b.astype(jnp.bfloat16)), exact)
+    got = winograd_conv_large(x.astype(jnp.bfloat16), k, b)
+    assert got.dtype == jnp.bfloat16
+    err = _relrms(got, exact)
+    # measured ratios: ~3.1-3.8x at r=7 (the production fc6 case), ~5.1x
+    # at r=5 (kernel padded to 6 -> quarter of each block is zeros)
+    assert err < 6.0 * max(err_direct, 1e-6), (err, err_direct)
+    assert err < 1.5e-2
+
+
+def test_decomposed_large_kernel_exact_in_f32():
+    """The tile-conv decomposition is algebraically exact: with f32
+    contraction inputs it reproduces the direct conv to f32 roundoff."""
+    from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+        _dwm_conv_raw, VARIANTS,
+    )
+    x = _rand(20, (1, 10, 13, 8))
+    k = _rand(21, (7, 7, 8, 8), scale=0.2)
+    got, _ = _dwm_conv_raw(x, k, VARIANTS["f3"], mxu_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(direct_conv2d(x, k)),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_decomposed_large_kernel_gradients():
+    """Custom-VJP blocks + autodiff strips together produce the direct
+    conv's gradients (bf16-grade tolerance — the contraction dtype).
+    relu=False: near-zero relu mask flips between bf16 and f32 forwards
+    would dominate the comparison (an inherent threshold effect of ANY
+    reduced-precision conv, not a property of this decomposition)."""
+    from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+        winograd_conv_large,
+    )
+    x = _rand(13, (1, 8, 10, 8))
+    k = _rand(14, (7, 7, 8, 8), scale=0.1)
+    b = _rand(15, (8,), scale=0.1)
+
+    def loss(f):
+        return lambda xx, kk, bb: jnp.sum(
+            jnp.sin(f(xx, kk, bb).astype(jnp.float32)))
+
+    gx1, gk1, gb1 = jax.grad(
+        loss(lambda xx, kk, bb: winograd_conv_large(
+            xx.astype(jnp.bfloat16), kk, bb, relu=False)),
+        argnums=(0, 1, 2))(x, k, b)
+    gx2, gk2, gb2 = jax.grad(
+        loss(lambda xx, kk, bb: direct_conv2d(xx, kk) + bb),
+        argnums=(0, 1, 2))(x, k, b)
+    # bf16-grade bounds at F(3,3) amplification (~3x the direct-bf16
+    # error; tiny 8-channel tensors make the relative noise floor high)
+    assert _relrms(gx1.astype(jnp.float32), gx2) < 4e-2
+    assert _relrms(gk1, gk2) < 4e-2
+    # db is an exact sum of the cotangent, but the cotangent itself is
+    # cos(y) of the bf16-decomposed forward — same error class as gx/gk
+    assert _relrms(gb1, gb2) < 4e-2
+
+
 def test_variant_tables_are_exact():
     """The Toom-Cook builder already asserts the algebra at import; spot
     check shapes and the known F(2,3) matrices here."""

@@ -27,9 +27,11 @@ import jax.numpy as jnp
 from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
     eligible, winograd_conv_bias_relu,
 )
-from semanticsegmentation_tensorflow_tpu.ops.winograd import direct_conv2d
+from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+    VARIANTS, direct_conv2d, winograd_conv2d, winograd_conv_large,
+)
 
-# (name, H, W, Cin, Cout) at bench batch 16, KITTI 1248x384 padded shapes
+# (name, H, W, Cin, Cout[, ksize]) at bench batch 16, KITTI padded shapes
 VARIANTS_TO_RUN = ("f2", "f4")
 SKIP_DIRECT = False
 
@@ -41,6 +43,7 @@ LAYERS = [
     ("conv4_1", 48, 156, 256, 512),
     ("conv4_2", 48, 156, 512, 512),
     ("conv5_x", 24, 78, 512, 512),
+    ("fc6", 12, 39, 512, 4096, 7),      # the 7x7 conv: f2r7 only
 ]
 
 
@@ -48,11 +51,12 @@ def _sync(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
-def bench_one(name, h, w, cin, cout, batch, steps, fwd_only):
+def bench_one(name, h, w, cin, cout, batch, steps, fwd_only, ksize=3):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, h, w, cin)) * 0.5,
                     jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)) * 0.05, jnp.float32)
+    k = jnp.asarray(rng.normal(size=(ksize, ksize, cin, cout)) * 0.05,
+                    jnp.float32)
     b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
 
     def direct(x, k, b):
@@ -63,9 +67,18 @@ def bench_one(name, h, w, cin, cout, batch, steps, fwd_only):
     row = {"layer": name, "shape": f"{h}x{w}x{cin}->{cout}"}
     impls = {} if SKIP_DIRECT else {"direct": direct}
     for v in VARIANTS_TO_RUN:
-        if eligible(x.shape, k.shape, v):
+        # pallas fused kernel (3x3 only)
+        if ksize == 3 and not v.endswith("x") and eligible(x.shape, k.shape, v):
             impls[v] = (lambda vv: lambda x, k, b:
                         winograd_conv_bias_relu(x, k, b, vv))(v)
+        # XLA-native path: "<variant>x" labels, e.g. f2x / f4x / f2r7x
+        if v.endswith("x") and VARIANTS[v[:-1]].r == ksize:
+            impls[v] = (lambda vv: lambda x, k, b:
+                        winograd_conv2d(x, k, b, vv, True))(v[:-1])
+        # decomposed large-kernel path: "<variant>d", e.g. f2d / f4d
+        if v.endswith("d") and ksize >= 5:
+            impls[v] = (lambda vv: lambda x, k, b:
+                        winograd_conv_large(x, k, b, vv, True))(v[:-1])
 
     ref = None
     for label, fn in impls.items():
@@ -74,7 +87,10 @@ def bench_one(name, h, w, cin, cout, batch, steps, fwd_only):
         else:
             def f(x, k, b, fn=fn):
                 def loss(x, k, b):
-                    return jnp.sum(fn(x, k, b).astype(jnp.float32) ** 2)
+                    # keep the loss (and so the cotangent) in the fwd's
+                    # own dtype: an f32 cotangent against bf16 operands
+                    # makes XLA's conv-transpose reject the direct path
+                    return jnp.sum(fn(x, k, b) ** 2).astype(jnp.float32)
                 return jax.grad(loss, argnums=(0, 1, 2))(x, k, b)
             f = jax.jit(f)
         t_c0 = time.perf_counter()
@@ -122,11 +138,11 @@ def main():
     setup_runtime()
     steps = 5 if args.quick else 20
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    for name, h, w, cin, cout in LAYERS:
+    for name, h, w, cin, cout, *rest in LAYERS:
         if args.layers and name not in args.layers.split(","):
             continue
         row = bench_one(name, h, w, cin, cout, args.batch, steps,
-                        args.fwd_only)
+                        args.fwd_only, ksize=rest[0] if rest else 3)
         print(row, flush=True)
 
 
