@@ -36,7 +36,8 @@ _MODEL_SOURCES = (
     "train/step.py", "train/loss.py", "train/state.py", "train/metrics.py",
     "models/fcn8s.py", "models/unet.py", "models/segnet.py",
     "models/deeplab.py", "models/vgg16.py", "models/common.py",
-    "ops/pool.py", "ops/fast_upsample.py", "data/augment.py",
+    "ops/pool.py", "ops/fast_upsample.py", "ops/packed_conv.py",
+    "data/augment.py",
 )
 
 
@@ -260,14 +261,19 @@ def main() -> int:
     # denominator) model disables perf reformulations that change the FLOP
     # count (packed stem); rows: (display, model, batch, h, w, nc, kwargs).
     unpacked = {"canon_kwargs": {"packed_stage1": False}}
+    # canonical (denominator) models disable every FLOP-changing perf
+    # reformulation: packed stem AND the round-3 packed decoder/stage0
+    unet_canon = {"canon_kwargs": {"packed_stage0": False}}
+    segnet_canon = {"canon_kwargs": {"packed_stage1": False,
+                                     "packed_dec1": False}}
     for disp, name, bs, bh, bw, nc, kw in [
         ("fcn8s", "fcn8s", 16, 384, 1248, 2, dict(unpacked)),
         # U-Net at its preset workload (BASELINE config 3: Cityscapes
         # 19-class 256x512 crops — what unet_cityscapes trains) AND at
         # full KITTI resolution for cross-model comparison
-        ("unet_cityscapes", "unet", 8, 256, 512, 19, {}),
-        ("unet_kitti_fullres", "unet", 8, 384, 1248, 2, {}),
-        ("segnet", "segnet", 8, 384, 1248, 2, dict(unpacked)),
+        ("unet_cityscapes", "unet", 8, 256, 512, 19, dict(unet_canon)),
+        ("unet_kitti_fullres", "unet", 8, 384, 1248, 2, dict(unet_canon)),
+        ("segnet", "segnet", 8, 384, 1248, 2, dict(segnet_canon)),
         ("deeplab", "deeplab", 8, 384, 1248, 2, {}),
         ("deeplab_os16", "deeplab", 8, 384, 1248, 2,
          {"output_stride": 16}),

@@ -52,6 +52,13 @@ class FCN8s(nn.Module):
     # (models/vgg16.py docstring); same params/checkpoints, fewer MXU
     # multiplies. Set None under a compiler-partitioned (2-D spatial) mesh.
     winograd: str | None = None
+    # decomposed-Winograd fc6 (models/vgg16.py docstring). Pure XLA ops —
+    # SPMD-safe. Default off: measured slower than the direct conv
+    # (ARCHITECTURE.md rejection 10).
+    winograd_fc6: bool | None = None
+    # width-pair-packed conv2_1 (models/vgg16.py docstring): full-lane
+    # input gradient for stage2's first conv. Perf flag only.
+    packed_stage2_entry: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -59,6 +66,8 @@ class FCN8s(nn.Module):
                      use_bn=self.use_bn, dropout_rate=self.dropout_rate,
                      packed_stage1=self.packed_stage1,
                      pallas_pool=self.pallas_pool, winograd=self.winograd,
+                     winograd_fc6=self.winograd_fc6,
+                     packed_stage2_entry=self.packed_stage2_entry,
                      dtype=self.dtype, name="vgg16")(x, train=train)
 
         def score(t, name):

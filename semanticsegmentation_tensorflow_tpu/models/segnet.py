@@ -45,13 +45,22 @@ class SegNet(nn.Module):
     # (encoder stages 2-5 + decoder stages 2-5; ops/pallas/winograd.py).
     # Same canonical params; set None under a compiler-partitioned mesh.
     winograd: str | None = None
+    # compute decoder stage1 (unpool -> three full-res 64-ch convs -> 1x1
+    # head) width-pair-packed: the unpool emits the packed layout directly
+    # (the 2x2 window's column pair IS the pack dim — ops/packed_conv.py)
+    # and the convs + head run at full MXU lanes. Same params/checkpoints;
+    # values equal up to float summation order. A perf flag.
+    packed_dec1: bool = True
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        from semanticsegmentation_tensorflow_tpu.ops.packed_conv import (
+            PackedConvBlock, packed_conv1x1, packed_unpool,
+        )
         from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
-            PackedSegNetStage1,
+            PackedSegNetStage1, _ConvParams, unpack_pairs,
         )
 
         indices: list[jax.Array] = []
@@ -77,6 +86,16 @@ class SegNet(nn.Module):
             # decoder stage i outputs the width of the *previous* encoder stage
             out_feats = _STAGES[i - 2][1] if i > 1 else _STAGES[0][1]
             out_feats = max(8, int(out_feats * self.width_mult))
+            if (i == 1 and self.packed_dec1 and not self.use_bn
+                    and out_feats == 64):
+                # packed decoder stage1 + head (module docstring flag note)
+                xp = packed_unpool(x.astype(self.dtype), indices[0])
+                xp = PackedConvBlock(out_feats, n_convs=n_convs,
+                                     dtype=self.dtype, name="dec1")(xp)
+                kh, bh = _ConvParams(out_feats, self.num_classes,
+                                     kernel_size=1, name="head")()
+                xp = packed_conv1x1(xp, kh, bh, self.dtype)
+                return unpack_pairs(xp).astype(jnp.float32)
             x = max_unpool(x, indices[i - 1], 2)
             x = ConvBlock(out_feats, n_convs=n_convs, use_bn=self.use_bn,
                           winograd=self.winograd,

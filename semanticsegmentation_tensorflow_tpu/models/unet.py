@@ -27,6 +27,13 @@ class UNet(nn.Module):
     # 'f2'/'f4': fused Winograd kernels for eligible full-lane 3x3 convs
     # (ops/pallas/winograd.py); same canonical params. Perf flag only.
     winograd: str | None = None
+    # compute the full-resolution 64-channel stages width-pair-packed
+    # (ops/packed_conv.py): down0's convs + pool, up0's transposed conv
+    # (emitted packed directly — a 2x2/2 transpose conv's column pair IS
+    # the pack dim), the skip concat, upconv0, and the 1x1 head all run
+    # at full MXU lanes. Same params/checkpoints; values equal up to
+    # float summation order. A perf flag, not an architecture change.
+    packed_stage0: bool = True
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @property
@@ -35,9 +42,26 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        from semanticsegmentation_tensorflow_tpu.ops.packed_conv import (
+            PackedConvBlock, PackedUNetDown0, pack_pairs, packed_concat,
+            packed_conv1x1, packed_conv_transpose_2x2,
+        )
+        from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
+            _ConvParams, unpack_pairs,
+        )
+
+        packed0 = (self.packed_stage0 and not self.use_bn
+                   and self.base_features == 64 and self.depth >= 1
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         skips: list[jax.Array] = []
         feats = self.base_features
         for i in range(self.depth):
+            if i == 0 and packed0:
+                skip, x = PackedUNetDown0(feats, dtype=self.dtype,
+                                          name="down0")(x)
+                skips.append(skip)
+                feats *= 2
+                continue
             x = ConvBlock(feats, use_bn=self.use_bn, winograd=self.winograd,
                           dtype=self.dtype, name=f"down{i}")(x, train=train)
             skips.append(x)
@@ -49,6 +73,19 @@ class UNet(nn.Module):
 
         for i in reversed(range(self.depth)):
             feats //= 2
+            if i == 0 and packed0:
+                # packed decoder stage0 + head (flag docstring above)
+                ku, bu = _ConvParams(x.shape[-1], feats, kernel_size=2,
+                                     name="up0")()
+                xp = packed_conv_transpose_2x2(x, ku, bu, self.dtype)
+                xp = packed_concat(pack_pairs(skips[0].astype(self.dtype)),
+                                   xp)
+                xp = PackedConvBlock(feats, n_convs=2, dtype=self.dtype,
+                                     name="upconv0")(xp)
+                kh, bh = _ConvParams(feats, self.num_classes,
+                                     kernel_size=1, name="head")()
+                xp = packed_conv1x1(xp, kh, bh, self.dtype)
+                return unpack_pairs(xp).astype(jnp.float32)
             x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2), padding="SAME",
                                  dtype=self.dtype, name=f"up{i}")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)

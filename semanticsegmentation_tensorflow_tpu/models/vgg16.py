@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from semanticsegmentation_tensorflow_tpu.models.common import DEFAULT_DTYPE, ConvBlock
 from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
-    PackedStage1, PooledConvBlock,
+    PackedStage1, PooledConvBlock, _ConvParams,
 )
 from semanticsegmentation_tensorflow_tpu.ops.pool import max_pool
 
@@ -57,12 +57,26 @@ class VGG16(nn.Module):
     # run each pooled stage's last bias+relu AFTER the pool (bit-exact — see
     # ops/packed_stem.PooledConvBlock — but 1/4-resolution elementwise work)
     deferred_pool_bias: bool = True
+    # compute stage2's first conv (conv2_1, consuming the 64-channel
+    # pool1 output) width-pair-packed: full MXU lanes on both sides,
+    # killing the half-lane input-gradient (ops/packed_stem.PooledConvBlock
+    # ``packed_entry``). Same params/checkpoints; perf flag only.
+    packed_stage2_entry: bool = False
     # 'f2' / 'f4': compute eligible 3x3 convs (stages 2-5 at full lanes,
-    # undilated) with the fused Winograd kernels — 2.25x / 4x fewer MXU
-    # multiplies for the same canonical parameters (ops/pallas/winograd.py).
-    # A perf flag, not an architecture change; ineligible layers fall back
-    # to the direct conv automatically.
+    # undilated) with Winograd fast convolution — 2.25x / 4x fewer MXU
+    # multiplies for the same canonical parameters (ops/winograd.py routes
+    # each layer to the measured-fastest implementation). A perf flag, not
+    # an architecture change; ineligible layers fall back to the direct
+    # conv automatically.
     winograd: str | None = None
+    # Decomposed Winograd for the convolutionalized fc6 (the profiled
+    # step's single hottest op at fc_features=4096: ~24 ms at 86-94% MXU —
+    # only a FLOP-reduction beats it). The 7x7 becomes ONE F(3,3)
+    # transform + a 3x3 convolution over Winograd tile indices + one
+    # untransform (~51% of the direct multiplies; derivation and the two
+    # measured-rejected alternatives in ops/winograd.py). Same canonical
+    # conv6 params/checkpoints either way.
+    winograd_fc6: bool | None = None
     # dropout on fc6/fc7, the reference's KEEP_PROB (SURVEY.md §3.1 lists it
     # among the script constants; FCN lineage uses keep_prob=0.5). 0 disables.
     dropout_rate: float = 0.5
@@ -97,15 +111,26 @@ class VGG16(nn.Module):
             else:
                 x = PooledConvBlock(feats, n_convs=n_convs, dilation=dilation,
                                     winograd=self.winograd,
+                                    packed_entry=(
+                                        i == 2 and self.packed_stage2_entry),
                                     dtype=self.dtype, name=f"stage{i}")(x)
                 ends[f"pool{i}"] = x
 
         # fc6/fc7 as convs (FCN "convolutionalization"). 7x7 at the classic
         # VGG receptive field; dilated variant widens it accordingly.
-        x = nn.Conv(self.fc_features, (7, 7), padding="SAME",
-                    kernel_dilation=(dilation, dilation),
-                    dtype=self.dtype, name="conv6")(x)
-        x = nn.relu(x)
+        wino_fc6 = bool(self.winograd_fc6)
+        if wino_fc6 and dilation == 1:
+            from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+                winograd_conv_large,
+            )
+            k6, b6 = _ConvParams(x.shape[-1], self.fc_features,
+                                 kernel_size=7, name="conv6")()
+            x = winograd_conv_large(x.astype(self.dtype), k6, b6, "f3", True)
+        else:
+            x = nn.Conv(self.fc_features, (7, 7), padding="SAME",
+                        kernel_dilation=(dilation, dilation),
+                        dtype=self.dtype, name="conv6")(x)
+            x = nn.relu(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train,
                            name="drop6")(x)

@@ -163,11 +163,13 @@ class _ConvParams(nn.Module):
 
     in_features: int
     features: int
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (3, 3, self.in_features, self.features))
+                       (self.kernel_size, self.kernel_size,
+                        self.in_features, self.features))
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         return k, b
 
@@ -193,24 +195,53 @@ class PooledConvBlock(nn.Module):
     # The last conv uses the raw (no-epilogue) form so its bias+relu stay
     # deferred past the pool.
     winograd: str | None = None
+    # compute the FIRST conv width-pair-packed (ops/packed_conv.py):
+    # for stage2's conv2_1 consuming the 64-channel pool1 output, the
+    # packed form runs both sides at full MXU lanes — in particular its
+    # input GRADIENT (profiled at 2.9 ms vs ~1.4 ideal at half lanes,
+    # VERDICT r2 #2) becomes a full-lane conv. Same canonical params;
+    # entering/leaving the packed domain is a free reshape.
+    packed_entry: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from semanticsegmentation_tensorflow_tpu.models.common import (
-            conv3x3_bias_relu, winograd_ok,
+            conv3x3_bias_relu, winograd_impl,
         )
         from semanticsegmentation_tensorflow_tpu.ops.pool import max_pool
 
         d = self.dilation
-        for i in range(self.n_convs - 1):
+        start = 0
+        if (self.packed_entry and d == 1 and self.n_convs >= 2
+                and x.shape[2] % 2 == 0):
+            from semanticsegmentation_tensorflow_tpu.ops.packed_conv import (
+                pack_conv_kernel, pack_pairs,
+            )
+            k0, b0 = _ConvParams(x.shape[-1], self.features, name="conv0")()
+            z = lax.conv_general_dilated(
+                pack_pairs(x.astype(self.dtype)),
+                pack_conv_kernel(k0).astype(self.dtype),
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=_DN)
+            x = nn.relu(unpack_pairs(z) + b0.astype(self.dtype))
+            start = 1
+        for i in range(start, self.n_convs - 1):
             ki, bi = _ConvParams(x.shape[-1], self.features,
                                  name=f"conv{i}")()
             x = conv3x3_bias_relu(x, ki, bi, dtype=self.dtype, dilation=d,
                                   winograd=self.winograd)
         k, b = _ConvParams(x.shape[-1], self.features,
                            name=f"conv{self.n_convs - 1}")()
-        if winograd_ok(x, k.shape, self.winograd, d):
+        impl = winograd_impl(x.shape, k.shape, self.winograd, d)
+        if impl == "xla":
+            from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+                winograd_conv2d,
+            )
+            z = winograd_conv2d(x.astype(self.dtype), k,
+                                jnp.zeros((k.shape[-1],), jnp.float32),
+                                self.winograd.rstrip("x"), False)
+        elif impl == "pallas":
             from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
                 winograd_conv3x3,
             )

@@ -174,3 +174,24 @@ def test_fcn8s_dropout_active_in_train_only():
     # at init the fc path is attenuated by four 0.01-std layers, so the
     # logit perturbation is tiny — strict difference is the right check
     assert float(jnp.abs(t1 - t2).max()) > 0.0
+
+
+def test_fcn8s_winograd_fc6_same_params_close_outputs():
+    """winograd_fc6 is a perf flag: the param tree (names+shapes) is
+    identical to the direct fc6 (checkpoints interchangeable), and logits
+    match to bf16-decomposition tolerance."""
+    kw = dict(num_classes=3, fc_features=32, width_mult=0.125,
+              dropout_rate=0.0)
+    x = jax.random.normal(jax.random.key(0), (1, 32, 64, 3))
+    base = FCN8s(**kw)
+    vs = base.init(jax.random.key(1), x, train=False)
+    wino = FCN8s(winograd_fc6=True, **kw)
+    vs2 = wino.init(jax.random.key(1), x, train=False)
+    shapes = jax.tree.map(lambda t: t.shape, vs["params"])
+    shapes2 = jax.tree.map(lambda t: t.shape, vs2["params"])
+    assert shapes == shapes2
+    y0 = base.apply(vs, x, train=False)
+    y1 = wino.apply(vs, x, train=False)
+    scale = float(jnp.std(y0)) + 1e-30
+    relrms = float(jnp.sqrt(jnp.mean((y1 - y0) ** 2))) / scale
+    assert relrms < 2e-2, relrms
