@@ -131,7 +131,11 @@ def main() -> None:
                 json.dump(cache, f, indent=2)
 
     # The production model: packed stage1 + Pallas pool (auto on TPU).
-    model = FCN8s(num_classes=2, fc_features=fc)
+    # BENCH_MODEL_KWARGS (json dict) is the tuning harness's A/B knob for
+    # perf flags (e.g. '{"packed_stage2_entry": true}') — it changes the
+    # MEASURED model only, never the canonical denominator above.
+    extra = json.loads(os.environ.get("BENCH_MODEL_KWARGS", "{}"))
+    model = FCN8s(num_classes=2, fc_features=fc, **extra)
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
 
     # warmup (state is donated; rebuild via the compiled fn itself).

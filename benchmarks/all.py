@@ -265,7 +265,8 @@ def main() -> int:
     # reformulation: packed stem AND the round-3 packed decoder/stage0
     unet_canon = {"canon_kwargs": {"packed_stage0": False}}
     segnet_canon = {"canon_kwargs": {"packed_stage1": False,
-                                     "packed_dec1": False}}
+                                     "packed_dec1": False,
+                                     "packed_dec2": False}}
     for disp, name, bs, bh, bw, nc, kw in [
         ("fcn8s", "fcn8s", 16, 384, 1248, 2, dict(unpacked)),
         # U-Net at its preset workload (BASELINE config 3: Cityscapes

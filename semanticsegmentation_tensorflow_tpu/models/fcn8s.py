@@ -45,9 +45,11 @@ class FCN8s(nn.Module):
     # width-pair-packed stage1 (ops/packed_stem.py): same params/checkpoints,
     # values equal up to float summation order, ~2x faster stage1 on TPU.
     packed_stage1: bool = True
-    # Pallas pool inside the packed stage1 (None = auto on TPU); set False
-    # under a compiler-partitioned (2-D spatial) mesh.
+    # Pallas pool inside the packed stage1 (None = auto on TPU).
     pallas_pool: bool | None = None
+    # SPMD halo-array mode for the fused stage1 kernel — set True under a
+    # height-sharded (2-D spatial) mesh (registry.spmd_safe_kwargs does).
+    pallas_spmd: bool = False
     # 'f2'/'f4': fused Winograd kernels for the eligible stage2-5 convs
     # (models/vgg16.py docstring); same params/checkpoints, fewer MXU
     # multiplies. Set None under a compiler-partitioned (2-D spatial) mesh.
@@ -65,7 +67,8 @@ class FCN8s(nn.Module):
         ends = VGG16(fc_features=self.fc_features, width_mult=self.width_mult,
                      use_bn=self.use_bn, dropout_rate=self.dropout_rate,
                      packed_stage1=self.packed_stage1,
-                     pallas_pool=self.pallas_pool, winograd=self.winograd,
+                     pallas_pool=self.pallas_pool,
+                     pallas_spmd=self.pallas_spmd, winograd=self.winograd,
                      winograd_fc6=self.winograd_fc6,
                      packed_stage2_entry=self.packed_stage2_entry,
                      dtype=self.dtype, name="vgg16")(x, train=train)

@@ -31,15 +31,15 @@ def build_model(name: str, num_classes: int, **kwargs: Any) -> nn.Module:
 
 def spmd_safe_kwargs(name: str) -> dict[str, Any]:
     """Model kwargs required under a COMPILER-PARTITIONED (2-D spatial)
-    mesh: XLA's SPMD partitioner cannot partition through a pallas_call,
-    so models with a Pallas stage1 must fall back to the jnp pool path
-    (which partitions fine). Every entry point that builds a model for a
-    spatial mesh should merge these in (setdefault, so explicit user
-    choices still win and get a clear partitioner error if forced)."""
-    if name in ("fcn8s", "fcn16s", "fcn32s"):
-        return {"pallas_pool": False, "winograd": None}
-    if name == "segnet":
-        return {"pallas_pool": False, "winograd": None}
+    mesh. The fused Pallas stage1 is SPMD-compatible since round 3 via
+    its halo-array mode (``pallas_spmd=True``: custom_partitioning over
+    row blocks — ops/pallas/stage1.py), so the 2-D mesh no longer forces
+    the jnp fallback; only the Winograd kernels (no partitioning rule; a
+    benchmark knob, never a default) are excluded. Every entry point that
+    builds a model for a spatial mesh should merge these in (setdefault,
+    so explicit user choices still win)."""
+    if name in ("fcn8s", "fcn16s", "fcn32s", "segnet"):
+        return {"winograd": None, "pallas_spmd": True}
     if name in ("unet", "deeplab"):
         return {"winograd": None}
     return {}

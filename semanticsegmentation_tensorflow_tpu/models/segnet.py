@@ -39,8 +39,10 @@ class SegNet(nn.Module):
     # flag, not an architecture change.
     packed_stage1: bool = True
     # Pallas fused stage1 tail (in-kernel argmax pool; None = auto on TPU).
-    # Set False under a compiler-partitioned mesh (registry.spmd_safe_kwargs).
     pallas_pool: bool | None = None
+    # SPMD halo-array mode for the fused stage1 kernel — set True under a
+    # height-sharded (2-D spatial) mesh (registry.spmd_safe_kwargs does).
+    pallas_spmd: bool = False
     # 'f2'/'f4': fused Winograd kernels for eligible full-lane 3x3 convs
     # (encoder stages 2-5 + decoder stages 2-5; ops/pallas/winograd.py).
     # Same canonical params; set None under a compiler-partitioned mesh.
@@ -51,6 +53,10 @@ class SegNet(nn.Module):
     # and the convs + head run at full MXU lanes. Same params/checkpoints;
     # values equal up to float summation order. A perf flag.
     packed_dec1: bool = True
+    # same treatment for decoder stage2 (128 -> two 64-ch convs at half
+    # res — the other half-lane stage). Independent flag so the two wins
+    # can be measured separately.
+    packed_dec2: bool = True
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
 
@@ -73,7 +79,7 @@ class SegNet(nn.Module):
                 # full-res stage; same params/indices — ops/packed_stem.py)
                 x, idx = PackedSegNetStage1(
                     feats, dtype=self.dtype, pallas_pool=self.pallas_pool,
-                    name="enc1")(x)
+                    pallas_spmd=self.pallas_spmd, name="enc1")(x)
                 indices.append(idx)
                 continue
             x = ConvBlock(feats, n_convs=n_convs, use_bn=self.use_bn,
@@ -86,6 +92,14 @@ class SegNet(nn.Module):
             # decoder stage i outputs the width of the *previous* encoder stage
             out_feats = _STAGES[i - 2][1] if i > 1 else _STAGES[0][1]
             out_feats = max(8, int(out_feats * self.width_mult))
+            if (i == 2 and self.packed_dec2 and not self.use_bn
+                    and out_feats == 64):
+                # packed decoder stage2 (module docstring flag note)
+                xp = packed_unpool(x.astype(self.dtype), indices[1])
+                xp = PackedConvBlock(out_feats, n_convs=n_convs,
+                                     dtype=self.dtype, name="dec2")(xp)
+                x = unpack_pairs(xp)
+                continue
             if (i == 1 and self.packed_dec1 and not self.use_bn
                     and out_feats == 64):
                 # packed decoder stage1 + head (module docstring flag note)

@@ -51,9 +51,11 @@ class VGG16(nn.Module):
     # ops/packed_stem.py). Same params/checkpoints; values equal up to float
     # summation order, so it is a perf flag, not an architecture change.
     packed_stage1: bool = False
-    # Pallas pool kernel inside the packed stage1 (None = auto on TPU); set
-    # False under a compiler-partitioned (2-D spatial) mesh.
+    # Pallas pool kernel inside the packed stage1 (None = auto on TPU).
     pallas_pool: bool | None = None
+    # SPMD halo-array mode for the fused stage1 kernel — set True under a
+    # height-sharded (2-D spatial) mesh (registry.spmd_safe_kwargs does).
+    pallas_spmd: bool = False
     # run each pooled stage's last bias+relu AFTER the pool (bit-exact — see
     # ops/packed_stem.PooledConvBlock — but 1/4-resolution elementwise work)
     deferred_pool_bias: bool = True
@@ -93,6 +95,7 @@ class VGG16(nn.Module):
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
                 x = PackedStage1(feats, dtype=self.dtype,
                                  pallas_pool=self.pallas_pool,
+                                 pallas_spmd=self.pallas_spmd,
                                  name="stage1")(x)
                 ends["pool1"] = x
                 continue

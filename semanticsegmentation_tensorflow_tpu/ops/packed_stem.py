@@ -274,6 +274,10 @@ class PackedStage1(nn.Module):
     features: int = 64
     dtype: jnp.dtype = DEFAULT_DTYPE
     pallas_pool: bool | None = None
+    # SPMD halo-array mode for the fused kernel (custom_partitioning over
+    # row blocks) — REQUIRED under a height-sharded (2-D spatial) mesh,
+    # a few ms/step slower single-device (ops/pallas/stage1.py).
+    pallas_spmd: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -305,7 +309,8 @@ class PackedStage1(nn.Module):
             # off-TPU an explicit pallas_pool=True runs the kernel in
             # interpret mode (slow but correct) instead of failing to lower
             return fused_stage1_tail(z1, k2, b2,
-                                     jax.default_backend() != "tpu")
+                                     jax.default_backend() != "tpu",
+                                     self.pallas_spmd)
         y = lax.conv_general_dilated(
             nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)
@@ -334,6 +339,8 @@ class PackedSegNetStage1(nn.Module):
     features: int = 64
     dtype: jnp.dtype = DEFAULT_DTYPE
     pallas_pool: bool | None = None
+    # see PackedStage1.pallas_spmd
+    pallas_spmd: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -367,7 +374,8 @@ class PackedSegNetStage1(nn.Module):
                 fused_segnet_stage1_tail,
             )
             pooled, idx = fused_segnet_stage1_tail(
-                z1, k2, b2, jax.default_backend() != "tpu")
+                z1, k2, b2, jax.default_backend() != "tpu",
+                self.pallas_spmd)
             return pooled, idx.astype(jnp.int8)
         y = lax.conv_general_dilated(
             nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),

@@ -101,17 +101,18 @@ def test_packed_conv_block_matches_convblock(ci, co, n_convs):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_segnet_packed_dec1_matches_unpacked():
-    """The packed_dec1 flag changes neither the param tree nor (up to
-    float summation order) the logits; checkpoints are interchangeable."""
+def test_segnet_packed_decoder_matches_unpacked():
+    """The packed_dec1/packed_dec2 flags change neither the param tree
+    nor (up to float summation order) the logits; checkpoints are
+    interchangeable."""
     kw = dict(num_classes=3, width_mult=1.0, packed_stage1=False,
               pallas_pool=False, dtype=jnp.float32)
     x = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
-    # width_mult=1 keeps dec1 at the canonical 64 channels the flag needs,
-    # but makes this the slowest CPU test in the file — keep inputs tiny
-    base = SegNet(packed_dec1=False, **kw)
+    # width_mult=1 keeps dec1/dec2 at the canonical 64 channels the flags
+    # need, but makes this the slowest CPU test in the file — tiny inputs
+    base = SegNet(packed_dec1=False, packed_dec2=False, **kw)
     vs = base.init(jax.random.key(1), x, train=False)
-    packed = SegNet(packed_dec1=True, **kw)
+    packed = SegNet(packed_dec1=True, packed_dec2=True, **kw)
     vs2 = packed.init(jax.random.key(1), x, train=False)
     assert jax.tree.map(lambda t: t.shape, vs) == \
         jax.tree.map(lambda t: t.shape, vs2)

@@ -275,3 +275,33 @@ def test_remat_with_bn_and_dropout():
     step = make_train_step(num_classes=2, remat=True)
     state, out = step(state, _batch(2))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_spatial_sharded_pallas_stage1_matches_single_device():
+    """VERDICT r2 #7: the fused Pallas stage1 is SPMD-compatible — the
+    custom_partitioning wrappers shard its row blocks across the 2-D
+    height-sharded mesh (halo rows via XLA collective-permute), so the
+    2-D mesh no longer forces the jnp fallback, and the grads still match
+    the single-device step."""
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+
+    kw = dict(name="fcn8s", fc_features=16, width_mult=1.0,
+              packed_stage1=True, pallas_pool=True, pallas_spmd=True,
+              dropout_rate=0.0, dtype=jnp.float32)
+    batch = _batch(4, h=64, w=32)
+
+    sa = _tiny_state(seed=0, shape=(4, 64, 32, 3), opt="sgd", **kw)
+    step_a = make_train_step(num_classes=2)
+    sa, out_a = step_a(sa, batch)
+
+    mesh = make_mesh_2d(2, 4)
+    sb = _tiny_state(seed=0, shape=(4, 64, 32, 3), opt="sgd", **kw)
+    sb = replicate(sb, mesh)
+    step_b = make_train_step(num_classes=2, mesh=mesh)
+    sb, out_b = step_b(sb, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
