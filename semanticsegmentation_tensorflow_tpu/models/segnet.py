@@ -53,10 +53,13 @@ class SegNet(nn.Module):
     # and the convs + head run at full MXU lanes. Same params/checkpoints;
     # values equal up to float summation order. A perf flag.
     packed_dec1: bool = True
-    # same treatment for decoder stage2 (128 -> two 64-ch convs at half
-    # res — the other half-lane stage). Independent flag so the two wins
-    # can be measured separately.
-    packed_dec2: bool = True
+    # same treatment for decoder stage2. MEASURED REJECTION on v5e
+    # (2026-08-17 A/B, tools/bench_flags.py, batch-8 KITTI): dec1-only
+    # 60.2 img/s, +dec2 57.5, dec2-only 54.6 vs unpacked 55.8 — dec2's
+    # first conv consumes an already-full-lane 128-ch input, so packing
+    # doubles its FLOPs with no lane win (the conv2_1 lesson,
+    # models/vgg16.py packed_stage2_entry). Kept for narrow variants.
+    packed_dec2: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
     total_stride: int = 32
 

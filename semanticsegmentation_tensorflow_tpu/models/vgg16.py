@@ -60,9 +60,12 @@ class VGG16(nn.Module):
     # ops/packed_stem.PooledConvBlock — but 1/4-resolution elementwise work)
     deferred_pool_bias: bool = True
     # compute stage2's first conv (conv2_1, consuming the 64-channel
-    # pool1 output) width-pair-packed: full MXU lanes on both sides,
-    # killing the half-lane input-gradient (ops/packed_stem.PooledConvBlock
-    # ``packed_entry``). Same params/checkpoints; perf flag only.
+    # pool1 output) width-pair-packed (ops/packed_stem.PooledConvBlock
+    # ``packed_entry``). Same params/checkpoints. MEASURED REJECTION on
+    # v5e (2026-08-17, bench.py A/B): 108.9 vs 121.9 img/s — conv2_1's
+    # output side is already full-lane, so the packed form's 2x FLOPs +
+    # the pack/unpack relayouts cost far more than the ~1.5 ms half-lane
+    # input-gradient they remove. Kept for narrower-input variants.
     packed_stage2_entry: bool = False
     # 'f2' / 'f4': compute eligible 3x3 convs (stages 2-5 at full lanes,
     # undilated) with Winograd fast convolution — 2.25x / 4x fewer MXU

@@ -293,7 +293,6 @@ class PackedStage1(nn.Module):
         z1 = lax.conv_general_dilated(
             x, pack_stem_conv1(k1).astype(dt), window_strides=(1, 2),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)
-        z1 = z1 + jnp.tile(b1, 2).astype(dt)
         use_pallas = self.pallas_pool
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and f == 64
@@ -307,10 +306,13 @@ class PackedStage1(nn.Module):
                 fused_stage1_tail,
             )
             # off-TPU an explicit pallas_pool=True runs the kernel in
-            # interpret mode (slow but correct) instead of failing to lower
-            return fused_stage1_tail(z1, k2, b2,
+            # interpret mode (slow but correct) instead of failing to lower.
+            # b1 stays un-added: the kernel folds it (its XLA transpose was
+            # a profiled ~1.3 ms full-size reduce of dz1).
+            return fused_stage1_tail(z1, k2, b2, b1,
                                      jax.default_backend() != "tpu",
                                      self.pallas_spmd)
+        z1 = z1 + jnp.tile(b1, 2).astype(dt)
         y = lax.conv_general_dilated(
             nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)
@@ -360,7 +362,6 @@ class PackedSegNetStage1(nn.Module):
         z1 = lax.conv_general_dilated(
             x, pack_stem_conv1(k1).astype(dt), window_strides=(1, 2),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)
-        z1 = z1 + jnp.tile(b1, 2).astype(dt)
         use_pallas = self.pallas_pool
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and f == 64
@@ -374,9 +375,10 @@ class PackedSegNetStage1(nn.Module):
                 fused_segnet_stage1_tail,
             )
             pooled, idx = fused_segnet_stage1_tail(
-                z1, k2, b2, jax.default_backend() != "tpu",
+                z1, k2, b2, b1, jax.default_backend() != "tpu",
                 self.pallas_spmd)
             return pooled, idx.astype(jnp.int8)
+        z1 = z1 + jnp.tile(b1, 2).astype(dt)
         y = lax.conv_general_dilated(
             nn.relu(z1), pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
             padding=((1, 1), (1, 1)), dimension_numbers=_DN)

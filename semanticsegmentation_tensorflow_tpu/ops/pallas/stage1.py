@@ -152,7 +152,7 @@ def _dotT(a: jax.Array, b: jax.Array) -> jax.Array:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes, *,
+def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, b1, out, codes, *,
                 biased_codes=False, edge_masks=True):
     """Grid (Hp/K, N/nt). Inputs: the pre-relu conv1_1 rows for K pool
     rows — a [2K,...] center block plus 1-row top/bottom halo blocks —
@@ -184,6 +184,7 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes, *,
     relu mask either way."""
     dt = ycen.dtype
     k2r = ycen.shape[0]                     # 2K conv rows
+    b1full = b1[0].astype(dt)               # conv1_1 bias, pre-tiled [2F]
     if edge_masks:
         p = pl.program_id(0)
         npr = pl.num_programs(0)
@@ -191,16 +192,19 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes, *,
         bot_ok = (p < npr - 1).astype(dt)
 
     def load(i):                            # local conv-input row -1..2K
+        # z1 arrives WITHOUT the conv1_1 bias (folded here): relu(z + b1).
+        # Edge masking applies after — a masked halo row contributes zero,
+        # exactly the SAME-pad semantics.
         if i < 0:
-            r = jnp.maximum(ytop[0], 0)
+            r = jnp.maximum(ytop[0] + b1full, 0)
             if edge_masks:
                 r = r * top_ok
         elif i >= k2r:
-            r = jnp.maximum(ybot[0], 0)
+            r = jnp.maximum(ybot[0] + b1full, 0)
             if edge_masks:
                 r = r * bot_ok
         else:
-            r = jnp.maximum(ycen[i], 0)
+            r = jnp.maximum(ycen[i] + b1full, 0)
         return r, _build_q(r)
 
     win: dict[int, tuple] = {}
@@ -257,7 +261,7 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, out, codes, *,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
-                ztop, zcen, zbot, mwt, swt, dz1, dm, ds, db2, *,
+                ztop, zcen, zbot, mwt, swt, b1, dz1, dm, ds, db2, db1, *,
                 edge_masks=True):
     """Grid (Hp/K, N/nt). Inputs: grad/out/codes for pool rows Kp-1..Kp+K
     (a [K,...] center block + 1-row halo blocks — clamped+masked or from
@@ -276,6 +280,7 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         dm[...] = jnp.zeros_like(dm)
         ds[...] = jnp.zeros_like(ds)
         db2[...] = jnp.zeros_like(db2)
+        db1[...] = jnp.zeros_like(db1)
 
     dt = zcen.dtype
     kk = gcen.shape[0]                      # K pool rows
@@ -310,17 +315,19 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         return jnp.where(cfull == tgt, gfull,
                          jnp.zeros_like(gfull)).astype(dt)
 
+    b1full = b1[0].astype(dt)               # conv1_1 bias (folded)
+
     def make_yq(i):                         # local conv-input row -1..2K
         if i < 0:
-            r = jnp.maximum(ztop[0], 0)
+            r = jnp.maximum(ztop[0] + b1full, 0)
             if edge_masks:
                 r = r * top_ok
         elif i >= 2 * kk:
-            r = jnp.maximum(zbot[0], 0)
+            r = jnp.maximum(zbot[0] + b1full, 0)
             if edge_masks:
                 r = r * bot_ok
         else:
-            r = jnp.maximum(zcen[i], 0)
+            r = jnp.maximum(zcen[i] + b1full, 0)
         return r, _build_q(r)
 
     # input grad: dy[h] = sum_dy dz[h+1-dy] @ M[dy]^T + Q-inverse of
@@ -344,6 +351,7 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
 
     acc_dm = [dm[0, t] for t in range(3)]
     acc_ds = [ds[0, t] for t in range(3)]
+    acc_db1 = None
     dzw: dict[int, jax.Array] = {}
     yqw: dict[int, tuple] = {}
     for h in range(2 * kk):                 # local conv row = dz1 row
@@ -352,10 +360,16 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
                 dzw[i] = make_dz(i)
             if i not in yqw:
                 yqw[i] = make_yq(i)
-        # relu mask of the pre-relu conv1_1 row (compares in f32)
+        # relu mask of the (biased) pre-relu conv1_1 row — the same bf16
+        # add as the forward, compared in f32
         dy = igrad_row((dzw[h - 1], dzw[h], dzw[h + 1]))
-        dz1[h] = jnp.where(zcen[h].astype(jnp.float32) > 0, dy,
-                           jnp.zeros_like(dy)).astype(dt)
+        dzv = jnp.where((zcen[h] + b1full).astype(jnp.float32) > 0, dy,
+                        jnp.zeros_like(dy)).astype(dt)
+        dz1[h] = dzv
+        w_, nt_, _ = dzv.shape
+        s1 = jnp.sum(dzv.astype(jnp.float32).reshape(w_ * nt_, 2 * F),
+                     axis=0, keepdims=True)
+        acc_db1 = s1 if acc_db1 is None else acc_db1 + s1
         # kernel grad: dM[dy] += y[h+dy-1]^T @ dz[h], dS[dy] += Q^T @ dz[h]
         for t in range(3):
             r, q = yqw[h + t - 1]
@@ -376,6 +390,7 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         s = jnp.sum(gr.reshape(w * nt, F), axis=0, keepdims=True)
         gsum = s if gsum is None else gsum + s
     db2[0] = db2[0] + gsum
+    db1[0] = db1[0] + acc_db1
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +462,7 @@ def _clamped_halo_specs(w, nt, c, nrows, total_rows):
     return top, bot
 
 
-def _fwd_call(z1t, tops, bots, mw, sw, bvec, *, k, interpret,
+def _fwd_call(z1t, tops, bots, mw, sw, bvec, b1vec, *, k, interpret,
               biased_codes=False, spmd=False):
     h, w, n, c = z1t.shape
     hp = h // 2
@@ -463,7 +478,7 @@ def _fwd_call(z1t, tops, bots, mw, sw, bvec, *, k, interpret,
                 _spec((2 * k, w, nt, c), lambda p, b: (p, 0, b, 0)),
                 bspec_,
                 _const_spec((3, c, c)), _const_spec((3, c, c)),
-                _const_spec((1, bvec.shape[-1]))]
+                _const_spec((1, bvec.shape[-1])), _const_spec((1, c))]
     out_specs = [
         _spec((k, w, nt, F), lambda p, b: (p, 0, b, 0)),
         _spec((k, w, nt, F), lambda p, b: (p, 0, b, 0)),
@@ -483,11 +498,12 @@ def _fwd_call(z1t, tops, bots, mw, sw, bvec, *, k, interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tops, z1t, bots, mw, sw, bvec)
+    )(tops, z1t, bots, mw, sw, bvec, b1vec)
 
 
 def _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
-              z1t, ztop, zbot, mwt, swt, *, k, interpret, spmd=False):
+              z1t, ztop, zbot, mwt, swt, b1vec, *, k, interpret,
+              spmd=False):
     h, w, n, c = z1t.shape
     hp = h // 2
     nt = _pick_nt(n, w, 1280)
@@ -513,7 +529,8 @@ def _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
 
     in_specs = (halo_trio(F, k, hp) + halo_trio(F, k, hp)
                 + halo_trio(F, k, hp) + halo_trio(c, 2 * k, h)
-                + [_const_spec((3, c, c)), _const_spec((3, c, c))])
+                + [_const_spec((3, c, c)), _const_spec((3, c, c)),
+                   _const_spec((1, c))])
     # dM/dS/db2 come out as PER-ROW-BLOCK partials (summed in XLA by the
     # caller): block p owns slot p, accumulating across the batch grid dim
     # by revisiting — no cross-block reduction inside the kernel, so the
@@ -523,12 +540,14 @@ def _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
         _spec((1, 3, c, c), lambda p, b: (p, 0, 0, 0)),
         _spec((1, 3, c, c), lambda p, b: (p, 0, 0, 0)),
         _spec((1, 1, F), lambda p, b: (p, 0, 0)),
+        _spec((1, 1, c), lambda p, b: (p, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((h, w, n, c), z1t.dtype),
         jax.ShapeDtypeStruct((npr, 3, c, c), jnp.float32),
         jax.ShapeDtypeStruct((npr, 3, c, c), jnp.float32),
         jax.ShapeDtypeStruct((npr, 1, F), jnp.float32),
+        jax.ShapeDtypeStruct((npr, 1, c), jnp.float32),
     ]
     flops = 2 * (24 * w * nt * c * c) * hp * (n // nt)
     return pl.pallas_call(
@@ -541,7 +560,7 @@ def _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gtop, gt, gbot, otop, ot, obot, ctop, ct, cbot, ztop, z1t, zbot,
-      mwt, swt)
+      mwt, swt, b1vec)
 
 
 # ---------------------------------------------------------------------------
@@ -594,13 +613,13 @@ def _fwd_cp(k: int, interpret: bool, biased_codes: bool, bw: int):
     (k is shape-derived; the Shardy compound-factor sizes depend on it)."""
     key = ("fwd", k, interpret, biased_codes, bw)
     if key not in _CP_CACHE:
-        def call(z1t, tops, bots, mw, sw, bvec):
-            return _fwd_call(z1t, tops, bots, mw, sw, bvec, k=k,
+        def call(z1t, tops, bots, mw, sw, bvec, b1vec):
+            return _fwd_call(z1t, tops, bots, mw, sw, bvec, b1vec, k=k,
                              interpret=interpret, biased_codes=biased_codes,
                              spmd=True)
 
         rule = ("(p i) w n c, p w n c, p w n c, t3 c c2, t4 c c3, "
-                "one bw -> (p j) w n f, (p j) w n f2")
+                "one bw, one2 c -> (p j) w n f, (p j) w n f2")
         _CP_CACHE[key] = _cp_wrap(call, rule, 2, i=2 * k, j=k)
     return _CP_CACHE[key]
 
@@ -609,38 +628,41 @@ def _bwd_cp(k: int, interpret: bool):
     key = ("bwd", k, interpret)
     if key not in _CP_CACHE:
         def call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
-                 z1t, ztop, zbot, mwt, swt):
+                 z1t, ztop, zbot, mwt, swt, b1vec):
             return _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop,
-                             cbot, z1t, ztop, zbot, mwt, swt, k=k,
+                             cbot, z1t, ztop, zbot, mwt, swt, b1vec, k=k,
                              interpret=interpret, spmd=True)
 
         rule = ("(p j) w n f, p w n f, p w n f, "
                 "(p j) w n f, p w n f, p w n f, "
                 "(p j) w n f, p w n f, p w n f, "
                 "(p i) w n c, p w n c, p w n c, "
-                "t3 c c2, t4 c c3 "
-                "-> (p i) w n c, p t5 c c4, p t6 c c5, p one f")
-        _CP_CACHE[key] = _cp_wrap(call, rule, 4, i=2 * k, j=k)
+                "t3 c c2, t4 c c3, one2 c "
+                "-> (p i) w n c, p t5 c c4, p t6 c c5, p one f, p one3 c")
+        _CP_CACHE[key] = _cp_wrap(call, rule, 5, i=2 * k, j=k)
     return _CP_CACHE[key]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_stage1_tail(z1, k2, b2, interpret=False, spmd=False):
-    """relu -> packed conv1_2 -> 2x2 pool -> +bias -> relu, fused.
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_stage1_tail(z1, k2, b2, b1, interpret=False, spmd=False):
+    """(+b1) -> relu -> packed conv1_2 -> 2x2 pool -> +b2 -> relu, fused.
 
-    z1: [N,H,Wp,2F] packed PRE-relu conv1_1 output (bias already added).
-    k2: [3,3,F,F] canonical conv1_2 kernel. b2: [F].
+    z1: [N,H,Wp,2F] packed conv1_1 output WITHOUT its bias — b1 [F] is
+    folded into the kernel (round 3: the separate XLA bias-add was free,
+    but its TRANSPOSE was a full-size reduce over the kernel's dz1 output,
+    profiled at ~1.3 ms/step; in-kernel, db1 falls out of rows already in
+    VMEM). k2: [3,3,F,F] canonical conv1_2 kernel. b2: [F].
     Returns the canonical pooled stage1 output [N,H/2,Wp,F].
     ``spmd=True`` takes the custom_partitioning halo-array path —
     shardable on batch AND height (see _cp_wrap above) at a few ms/step
     of extra slicing; the default clamped-halo path is the single-device
     fast path.
     """
-    out, _ = _fused_fwd(z1, k2, b2, interpret, spmd)
+    out, _ = _fused_fwd(z1, k2, b2, b1, interpret, spmd)
     return out
 
 
-def _fused_fwd(z1, k2, b2, interpret, spmd, biased_codes=False):
+def _fused_fwd(z1, k2, b2, b1, interpret, spmd, biased_codes=False):
     n, h, w, c = z1.shape
     mw, sw = _build_mats(k2, z1.dtype)
     # HWNC view: bit-identical buffer to the {3,0,2,1} layout XLA picks for
@@ -649,21 +671,22 @@ def _fused_fwd(z1, k2, b2, interpret, spmd, biased_codes=False):
     k = _pick_k(h // 2)                     # from the GLOBAL shape
     b2c = b2.astype(z1.dtype)
     bvec = (jnp.tile(b2c, 2) if biased_codes else b2c).reshape(1, -1)
+    b1vec = jnp.tile(b1.astype(z1.dtype), 2).reshape(1, -1)
     if spmd:
         tops, bots = _halo_rows(z1t, 2 * k)
         out_t, codes_t = _fwd_cp(k, interpret, biased_codes,
                                  bvec.shape[-1])(
-            z1t, tops, bots, mw, sw, bvec)
+            z1t, tops, bots, mw, sw, bvec, b1vec)
     else:
-        out_t, codes_t = _fwd_call(z1t, None, None, mw, sw, bvec, k=k,
-                                   interpret=interpret,
+        out_t, codes_t = _fwd_call(z1t, None, None, mw, sw, bvec, b1vec,
+                                   k=k, interpret=interpret,
                                    biased_codes=biased_codes, spmd=False)
     out = jnp.transpose(out_t, (2, 0, 1, 3))
-    return out, (z1, k2, b2, out_t, codes_t)
+    return out, (z1, k2, b2, b1, out_t, codes_t)
 
 
 def _fused_bwd(interpret, spmd, res, g):
-    z1, k2, b2, out_t, codes_t = res
+    z1, k2, b2, b1, out_t, codes_t = res
     n, h, w, c = z1.shape
     mw, sw = _build_mats(k2, z1.dtype)
     mwt = jnp.swapaxes(mw, 1, 2)
@@ -671,35 +694,39 @@ def _fused_bwd(interpret, spmd, res, g):
     gt = jnp.transpose(g.astype(z1.dtype), (1, 2, 0, 3))
     z1t = jnp.transpose(z1, (1, 2, 0, 3))
     k = _pick_k(h // 2, max_k=2)
+    b1vec = jnp.tile(b1.astype(z1.dtype), 2).reshape(1, -1)
     if spmd:
         gtop, gbot = _halo_rows(gt, k)
         otop, obot = _halo_rows(out_t, k)
         ctop, cbot = _halo_rows(codes_t, k)
         ztop, zbot = _halo_rows(z1t, 2 * k)
-        dz1t, dm_p, ds_p, db2_p = _bwd_cp(k, interpret)(
+        dz1t, dm_p, ds_p, db2_p, db1_p = _bwd_cp(k, interpret)(
             gt, gtop, gbot, out_t, otop, obot, codes_t, ctop, cbot,
-            z1t, ztop, zbot, mwt, swt)
+            z1t, ztop, zbot, mwt, swt, b1vec)
     else:
-        dz1t, dm_p, ds_p, db2_p = _bwd_call(
+        dz1t, dm_p, ds_p, db2_p, db1_p = _bwd_call(
             gt, None, None, out_t, None, None, codes_t, None, None,
-            z1t, None, None, mwt, swt, k=k, interpret=interpret,
+            z1t, None, None, mwt, swt, b1vec, k=k, interpret=interpret,
             spmd=False)
     dm = jnp.sum(dm_p, axis=0)
     ds = jnp.sum(ds_p, axis=0)
     db2 = jnp.sum(db2_p, axis=0)
+    db1p = jnp.sum(db1_p, axis=0).reshape(2 * F)
+    db1 = (db1p[:F] + db1p[F:]).astype(b1.dtype)  # tile-transpose
     dz1 = jnp.transpose(dz1t, (2, 0, 1, 3))
     dk2 = _dk_from_mats(dm, ds).astype(k2.dtype)
-    return dz1, dk2, db2.reshape(F).astype(b2.dtype)
+    return dz1, dk2, db2.reshape(F).astype(b2.dtype), db1
 
 
-def reference_stage1_tail(z1, k2, b2):
+def reference_stage1_tail(z1, k2, b2, b1):
     """jnp reference for fused_stage1_tail (same packed semantics via
-    ops/packed_stem): relu -> packed conv1_2 -> pool_pairs -> +b2 -> relu."""
+    ops/packed_stem): +b1 -> relu -> packed conv1_2 -> pool_pairs -> +b2
+    -> relu."""
     from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
         pack_stem_conv2, pool_pairs,
     )
     dt = z1.dtype
-    y = jax.nn.relu(z1)
+    y = jax.nn.relu(z1 + jnp.tile(b1, 2).astype(dt))
     z2 = lax.conv_general_dilated(
         y, pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
         padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -707,8 +734,8 @@ def reference_stage1_tail(z1, k2, b2):
 
 
 fused_stage1_tail.defvjp(
-    lambda z1, k2, b2, interpret, spmd: _fused_fwd(z1, k2, b2, interpret,
-                                                   spmd),
+    lambda z1, k2, b2, b1, interpret, spmd: _fused_fwd(z1, k2, b2, b1,
+                                                       interpret, spmd),
     _fused_bwd)
 
 
@@ -718,21 +745,22 @@ fused_stage1_tail.defvjp(
 # exact max_pool_with_argmax index the decoder unpools by).
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_segnet_stage1_tail(z1, k2, b2, interpret=False, spmd=False):
-    """relu -> packed conv1_2 -> +bias -> relu -> 2x2 argmax pool, fused.
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_segnet_stage1_tail(z1, k2, b2, b1, interpret=False, spmd=False):
+    """(+b1) -> relu -> packed conv1_2 -> +b2 -> relu -> 2x2 argmax pool.
 
-    z1: [N,H,Wp,2F] packed PRE-relu conv1_1 output. Returns
-    (pooled [N,H/2,Wp,F], indices u8 [N,H/2,Wp,F]) — the SegNet encoder
-    stage1 (models/segnet.py), replacing ConvBlock + max_pool_with_argmax.
-    ``spmd`` as in fused_stage1_tail.
+    z1: [N,H,Wp,2F] packed conv1_1 output WITHOUT its bias (b1 folded —
+    see fused_stage1_tail). Returns (pooled [N,H/2,Wp,F], indices u8) —
+    the SegNet encoder stage1 (models/segnet.py), replacing ConvBlock +
+    max_pool_with_argmax. ``spmd`` as in fused_stage1_tail.
     """
-    (out, idx), _ = _fused_seg_fwd(z1, k2, b2, interpret, spmd)
+    (out, idx), _ = _fused_seg_fwd(z1, k2, b2, b1, interpret, spmd)
     return out, idx
 
 
-def _fused_seg_fwd(z1, k2, b2, interpret, spmd):
-    out, res = _fused_fwd(z1, k2, b2, interpret, spmd, biased_codes=True)
+def _fused_seg_fwd(z1, k2, b2, b1, interpret, spmd):
+    out, res = _fused_fwd(z1, k2, b2, b1, interpret, spmd,
+                          biased_codes=True)
     codes_t = res[-1]
     idx = jnp.transpose(codes_t, (2, 0, 1, 3))
     return (out, idx), res
@@ -751,9 +779,9 @@ def _fused_seg_bwd(interpret, spmd, res, g):
 fused_segnet_stage1_tail.defvjp(_fused_seg_fwd, _fused_seg_bwd)
 
 
-def reference_segnet_stage1_tail(z1, k2, b2):
+def reference_segnet_stage1_tail(z1, k2, b2, b1):
     """jnp reference for fused_segnet_stage1_tail: unpack to full
-    resolution, then the canonical relu -> conv -> +b -> relu ->
+    resolution, then the canonical +b1 -> relu -> conv -> +b2 -> relu ->
     max_pool_with_argmax (ops/pool.py)."""
     from semanticsegmentation_tensorflow_tpu.ops.packed_stem import (
         pack_stem_conv2, unpack_pairs,
@@ -762,7 +790,7 @@ def reference_segnet_stage1_tail(z1, k2, b2):
         max_pool_with_argmax,
     )
     dt = z1.dtype
-    y = jax.nn.relu(z1)
+    y = jax.nn.relu(z1 + jnp.tile(b1, 2).astype(dt))
     z2 = lax.conv_general_dilated(
         y, pack_stem_conv2(k2).astype(dt), window_strides=(1, 1),
         padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -238,17 +238,19 @@ def test_fused_stage1_tail_matches_reference():
     z1 = jnp.asarray(rng.normal(size=(2, 8, 16, 128)), jnp.float32)
     k2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)), jnp.float32) * 0.1
     b2 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
+    b1 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
 
-    out = fused(z1, k2, b2, True)
-    expect = ref(z1, k2, b2)
+    out = fused(z1, k2, b2, b1, True)
+    expect = ref(z1, k2, b2, b1)
     assert out.shape == (2, 4, 16, 64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-5, atol=1e-5)
 
     cot = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
-    g1 = jax.grad(lambda *a: jnp.vdot(fused(*a, True), cot), (0, 1, 2))(
-        z1, k2, b2)
-    g2 = jax.grad(lambda *a: jnp.vdot(ref(*a), cot), (0, 1, 2))(z1, k2, b2)
+    g1 = jax.grad(lambda *a: jnp.vdot(fused(*a, True), cot),
+                  (0, 1, 2, 3))(z1, k2, b2, b1)
+    g2 = jax.grad(lambda *a: jnp.vdot(ref(*a), cot),
+                  (0, 1, 2, 3))(z1, k2, b2, b1)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
@@ -267,14 +269,15 @@ def test_fused_stage1_tail_exact_routing_with_ties():
     k2 = jnp.asarray(rng.integers(-1, 2, (3, 3, 64, 64)), jnp.float32)
     k2 = k2.at[1].set(k2[0])
     b2 = jnp.zeros((64,), jnp.float32)
+    b1 = jnp.asarray(rng.integers(-1, 2, (64,)), jnp.float32)
 
-    np.testing.assert_array_equal(np.asarray(fused(z1, k2, b2, True)),
-                                  np.asarray(ref(z1, k2, b2)))
+    np.testing.assert_array_equal(np.asarray(fused(z1, k2, b2, b1, True)),
+                                  np.asarray(ref(z1, k2, b2, b1)))
     # integer cotangent: every product/sum in the backward is then exact in
     # f32, so any difference would be a genuine routing (tie) divergence
     cot = jnp.asarray(rng.integers(-3, 4, (1, 3, 8, 64)), jnp.float32)
-    g1 = jax.grad(lambda z: jnp.vdot(fused(z, k2, b2, True), cot))(z1)
-    g2 = jax.grad(lambda z: jnp.vdot(ref(z, k2, b2), cot))(z1)
+    g1 = jax.grad(lambda z: jnp.vdot(fused(z, k2, b2, b1, True), cot))(z1)
+    g2 = jax.grad(lambda z: jnp.vdot(ref(z, k2, b2, b1), cot))(z1)
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
@@ -286,8 +289,9 @@ def test_fused_stage1_tail_batch_tiling():
     z1 = jnp.asarray(rng.normal(size=(3, 4, 10, 128)), jnp.float32)
     k2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)), jnp.float32) * 0.1
     b2 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
-    np.testing.assert_allclose(np.asarray(fused(z1, k2, b2, True)),
-                               np.asarray(ref(z1, k2, b2)),
+    b1 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
+    np.testing.assert_allclose(np.asarray(fused(z1, k2, b2, b1, True)),
+                               np.asarray(ref(z1, k2, b2, b1)),
                                rtol=1e-5, atol=1e-5)
 
 
@@ -307,17 +311,20 @@ def test_fused_segnet_tail_matches_reference():
     k2 = jnp.asarray(rng.integers(-1, 2, (3, 3, 64, 64)), jnp.float32)
     k2 = k2.at[1].set(k2[0])              # repeated taps -> many exact ties
     b2 = jnp.asarray(rng.integers(-2, 3, (64,)), jnp.float32)
+    b1 = jnp.asarray(rng.integers(-2, 3, (64,)), jnp.float32)
 
-    out, idx = fused_segnet_stage1_tail(z1, k2, b2, True)
-    ref_out, ref_idx = reference_segnet_stage1_tail(z1, k2, b2)
+    out, idx = fused_segnet_stage1_tail(z1, k2, b2, b1, True)
+    ref_out, ref_idx = reference_segnet_stage1_tail(z1, k2, b2, b1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
 
     cot = jnp.asarray(rng.integers(-3, 4, out.shape), jnp.float32)
     g1 = jax.grad(lambda *a: jnp.vdot(
-        fused_segnet_stage1_tail(*a, True)[0], cot), (0, 1, 2))(z1, k2, b2)
+        fused_segnet_stage1_tail(*a, True)[0], cot),
+        (0, 1, 2, 3))(z1, k2, b2, b1)
     g2 = jax.grad(lambda *a: jnp.vdot(
-        reference_segnet_stage1_tail(*a)[0], cot), (0, 1, 2))(z1, k2, b2)
+        reference_segnet_stage1_tail(*a)[0], cot),
+        (0, 1, 2, 3))(z1, k2, b2, b1)
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
