@@ -273,7 +273,10 @@ def main() -> int:
         # 19-class 256x512 crops — what unet_cityscapes trains) AND at
         # full KITTI resolution for cross-model comparison
         ("unet_cityscapes", "unet", 8, 256, 512, 19, dict(unet_canon)),
-        ("unet_kitti_fullres", "unet", 8, 384, 1248, 2, dict(unet_canon)),
+        # packed_stage0 measured -4.4% at this non-preset full-res shape
+        # (models/unet.py flag docstring) — bench the measured-best config
+        ("unet_kitti_fullres", "unet", 8, 384, 1248, 2,
+         dict(unet_canon, packed_stage0=False)),
         ("segnet", "segnet", 8, 384, 1248, 2, dict(segnet_canon)),
         ("deeplab", "deeplab", 8, 384, 1248, 2, {}),
         ("deeplab_os16", "deeplab", 8, 384, 1248, 2,

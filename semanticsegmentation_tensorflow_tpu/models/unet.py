@@ -32,7 +32,12 @@ class UNet(nn.Module):
     # (emitted packed directly — a 2x2/2 transpose conv's column pair IS
     # the pack dim), the skip concat, upconv0, and the 1x1 head all run
     # at full MXU lanes. Same params/checkpoints; values equal up to
-    # float summation order. A perf flag, not an architecture change.
+    # float summation order. MEASURED (tools/bench_flags.py A/B, v5e
+    # 2026-08-17): +7.6% at the preset workload (Cityscapes 256x512 b8,
+    # 142.2 -> 153.0 img/s — default on), -4.4% at non-preset KITTI
+    # 384x1248 (46.4 -> 44.3: upconv0's first conv consumes an already-
+    # full-lane concat, and the extra full-res skip pass grows with
+    # area — set False for very large inputs).
     packed_stage0: bool = True
     dtype: jnp.dtype = DEFAULT_DTYPE
 

@@ -366,10 +366,11 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         dzv = jnp.where((zcen[h] + b1full).astype(jnp.float32) > 0, dy,
                         jnp.zeros_like(dy)).astype(dt)
         dz1[h] = dzv
-        w_, nt_, _ = dzv.shape
-        s1 = jnp.sum(dzv.astype(jnp.float32).reshape(w_ * nt_, 2 * F),
-                     axis=0, keepdims=True)
-        acc_db1 = s1 if acc_db1 is None else acc_db1 + s1
+        # accumulate FULL-SHAPE (cheap VPU adds); the cross-position
+        # reduce runs once per program at the end — per-row reshape+
+        # reduce measured +2 ms/step on the whole kernel
+        acc_db1 = dzv.astype(jnp.float32) if acc_db1 is None \
+            else acc_db1 + dzv.astype(jnp.float32)
         # kernel grad: dM[dy] += y[h+dy-1]^T @ dz[h], dS[dy] += Q^T @ dz[h]
         for t in range(3):
             r, q = yqw[h + t - 1]
@@ -386,11 +387,12 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
     gsum = None
     for q in range(kk):                     # db2 over the CENTER pool rows
         gr = grelu(q).astype(jnp.float32)
-        w, nt, _ = gr.shape
-        s = jnp.sum(gr.reshape(w * nt, F), axis=0, keepdims=True)
-        gsum = s if gsum is None else gsum + s
-    db2[0] = db2[0] + gsum
-    db1[0] = db1[0] + acc_db1
+        gsum = gr if gsum is None else gsum + gr
+    w_, nt_, _ = gsum.shape
+    db2[0] = db2[0] + jnp.sum(gsum.reshape(w_ * nt_, F), axis=0,
+                              keepdims=True)
+    db1[0] = db1[0] + jnp.sum(acc_db1.reshape(w_ * nt_, 2 * F), axis=0,
+                              keepdims=True)
 
 
 # ---------------------------------------------------------------------------
