@@ -305,3 +305,34 @@ def test_spatial_sharded_pallas_stage1_matches_single_device():
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_spatial_sharded_pallas_segnet_stage1_matches_single_device():
+    # loss rtol 5e-5: SegNet's full-width (width_mult=1) tree makes the
+    # partitioned CE reduction's f32 summation-order noise ~2e-5; the
+    # PARAM check below is the routing-correctness gate (a flipped argmax
+    # or halo seam would move gradients by O(grad), far beyond 2e-4)
+    """The SegNet-mode fused stage1 (biased codes) also works under the
+    2-D height-sharded mesh via its custom_partitioning SPMD mode."""
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+
+    kw = dict(name="segnet", width_mult=1.0, packed_stage1=True,
+              pallas_pool=True, pallas_spmd=True, packed_dec1=False,
+              dtype=jnp.float32)
+    batch = _batch(4, h=64, w=32)
+
+    sa = _tiny_state(seed=0, shape=(4, 64, 32, 3), opt="sgd", **kw)
+    step_a = make_train_step(num_classes=2)
+    sa, out_a = step_a(sa, batch)
+
+    mesh = make_mesh_2d(2, 4)
+    sb = _tiny_state(seed=0, shape=(4, 64, 32, 3), opt="sgd", **kw)
+    sb = replicate(sb, mesh)
+    step_b = make_train_step(num_classes=2, mesh=mesh)
+    sb, out_b = step_b(sb, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                               rtol=5e-5)
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
