@@ -237,12 +237,48 @@ def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
         pred, paths, runs_dir=runs_dir, batch_size=batch))
     dt = time.perf_counter() - t0
     assert n_done == n_images
+
+    # Per-leg attribution (VERDICT r2 #7: persist WHY the e2e number is
+    # what it is — on this dev environment the host->device upload through
+    # the ~11 MB/s tunnel dominates; on a real host it would be PCIe).
+    # Each leg is timed standalone over the same images.
+    from semanticsegmentation_tensorflow_tpu.infer.predict import load_image
+    from semanticsegmentation_tensorflow_tpu.ops.overlay import host_overlay
+    from semanticsegmentation_tensorflow_tpu.utils.fastpng import write_png
+
+    n_leg = min(n_images, 2 * batch)
+    t = time.perf_counter()
+    imgs = np.stack([load_image(p, pred.image_size) for p in paths[:n_leg]])
+    decode_s = time.perf_counter() - t
+    t = time.perf_counter()
+    dev = jax.device_put(imgs)
+    _sync(dev)
+    upload_s = time.perf_counter() - t
+    labels = None
+    t = time.perf_counter()
+    for i in range(0, n_leg, batch):
+        labels = np.asarray(pred._fwd_labels(dev[i:i + batch]))
+    compute_s = time.perf_counter() - t
+    t = time.perf_counter()
+    enc_dir = os.path.join(tmp_root, "enc")
+    os.makedirs(enc_dir, exist_ok=True)
+    for i in range(min(n_leg, batch)):
+        write_png(os.path.join(enc_dir, f"{i}.png"),
+                  host_overlay(imgs[i], labels[i % batch],
+                               pred._palette, pred._alpha))
+    encode_s = (time.perf_counter() - t) * n_leg / min(n_leg, batch)
+
     shutil.rmtree(src_dir)
     shutil.rmtree(runs_dir)
     return {"name": f"fcn8s_sweep_b{batch}", "batch": batch,
             "n_images": n_images,
             "images_per_sec_e2e": round(n_images / dt, 2),
-            "ms_per_image_e2e": round(dt / n_images * 1000, 2)}
+            "ms_per_image_e2e": round(dt / n_images * 1000, 2),
+            "legs_ms_per_image": {
+                "decode": round(decode_s / n_leg * 1000, 2),
+                "upload": round(upload_s / n_leg * 1000, 2),
+                "device_fwd": round(compute_s / n_leg * 1000, 2),
+                "overlay_encode": round(encode_s / n_leg * 1000, 2)}}
 
 
 def main() -> int:

@@ -23,6 +23,21 @@ import tempfile
 import jax
 
 
+def _parse_kw_value(v: str):
+    """CLI model-kwarg literal: bool/None/int/float/str, in that order."""
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
@@ -48,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--model-kw", default=None,
+                   help="comma-separated k=v model kwargs overriding the "
+                        "preset (perf flags etc.), e.g. "
+                        "'packed_stage1=false,fc_features=4096'")
     p.add_argument("--vgg-weights", default=None,
                    help=".npz of pretrained VGG16 weights (canonical keys; "
                         "produce with tools/import_tf_vgg.py)")
@@ -116,6 +135,10 @@ def main(argv=None):
     n_train = len(ds.train_images)
 
     model_kwargs = dict(cfg.model_kwargs)
+    if args.model_kw:
+        for pair in args.model_kw.split(","):
+            k, _, v = pair.partition("=")
+            model_kwargs[k.strip()] = _parse_kw_value(v.strip())
     if args.spatial > 1:
         from semanticsegmentation_tensorflow_tpu.models.registry import (
             spmd_safe_kwargs,

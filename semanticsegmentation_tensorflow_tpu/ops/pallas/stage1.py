@@ -582,7 +582,7 @@ def _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
 _CP_CACHE: dict = {}
 
 
-def _cp_wrap(fn, rule, n_results, **factor_sizes):
+def _cp_wrap(fn, rule, **factor_sizes):
     wrapped = custom_partitioning(fn)
 
     def partition(mesh, arg_shapes, result_shape):
@@ -622,7 +622,7 @@ def _fwd_cp(k: int, interpret: bool, biased_codes: bool, bw: int):
 
         rule = ("(p i) w n c, p w n c, p w n c, t3 c c2, t4 c c3, "
                 "one bw, one2 c -> (p j) w n f, (p j) w n f2")
-        _CP_CACHE[key] = _cp_wrap(call, rule, 2, i=2 * k, j=k)
+        _CP_CACHE[key] = _cp_wrap(call, rule, i=2 * k, j=k)
     return _CP_CACHE[key]
 
 
@@ -641,7 +641,7 @@ def _bwd_cp(k: int, interpret: bool):
                 "(p i) w n c, p w n c, p w n c, "
                 "t3 c c2, t4 c c3, one2 c "
                 "-> (p i) w n c, p t5 c c4, p t6 c c5, p one f, p one3 c")
-        _CP_CACHE[key] = _cp_wrap(call, rule, 5, i=2 * k, j=k)
+        _CP_CACHE[key] = _cp_wrap(call, rule, i=2 * k, j=k)
     return _CP_CACHE[key]
 
 

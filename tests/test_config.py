@@ -33,3 +33,18 @@ def test_all_registry_models_instantiable():
     for name in MODELS:
         m = build_model(name, num_classes=3)
         assert m.num_classes == 3
+
+
+def test_train_cli_model_kw_parser():
+    """--model-kw literals: bools, none, numbers, strings."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from scripts.train import _parse_kw_value
+
+    assert _parse_kw_value("true") is True
+    assert _parse_kw_value("False") is False
+    assert _parse_kw_value("none") is None
+    assert _parse_kw_value("4096") == 4096
+    assert _parse_kw_value("0.5") == 0.5
+    assert _parse_kw_value("f2") == "f2"
