@@ -438,15 +438,22 @@ def _const_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _halo_rows(xt: jax.Array, nrows: int) -> tuple[jax.Array, jax.Array]:
+def _halo_rows(xt: jax.Array, nrows: int,
+               edge_fill: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """Per-block 1-row halos of a row-major [H,...] array with H = npr *
-    nrows: tops[p] = xt[nrows*p - 1] (zeros at p=0), bots[p] =
-    xt[nrows*(p+1)] (zeros at the last block). Plain XLA strided slices —
-    under an H-sharded mesh the SPMD partitioner turns the one-row
-    boundary reads into the collective-permute halo exchange, which keeps
-    the pallas grid itself embarrassingly parallel."""
+    nrows: tops[p] = xt[nrows*p - 1], bots[p] = xt[nrows*(p+1)], with
+    ``edge_fill`` rows beyond the global boundary. Plain XLA strided
+    slices — under an H-sharded mesh the SPMD partitioner turns the
+    one-row boundary reads into the collective-permute halo exchange,
+    which keeps the pallas grid itself embarrassingly parallel.
+
+    ``edge_fill``: the kernels apply relu(z + b1) to PRE-BIAS conv1_1
+    halo rows, so a zero edge row would wrongly contribute relu(b1);
+    -inf makes the biased relu exactly zero — the SAME-pad semantics.
+    grad/out/code halos keep 0 (their kernels mask on ``out > 0``, and
+    the uint8 codes cannot hold -inf)."""
     npr = xt.shape[0] // nrows
-    zrow = jnp.zeros_like(xt[:1])
+    zrow = jnp.full_like(xt[:1], edge_fill)
     tops = jnp.concatenate([zrow, xt[nrows - 1::nrows][:npr - 1]], axis=0)
     bots = jnp.concatenate([xt[nrows::nrows], zrow], axis=0)
     return tops, bots
@@ -635,6 +642,13 @@ def _bwd_cp(k: int, interpret: bool):
                              cbot, z1t, ztop, zbot, mwt, swt, b1vec, k=k,
                              interpret=interpret, spmd=True)
 
+        # NOTE the batch factor ``n`` is absent from the dM/dS/db result
+        # mappings: each batch shard computes PARTIAL sums, and Shardy
+        # resolves the mismatch by reducing them across the batch mesh
+        # axis before handing the (replicated-over-n) partials back —
+        # verified by the fake-mesh grad-equality tests
+        # (tests/test_train.py::test_spatial_sharded_pallas_*), which
+        # shard the batch 2-way and would be off by ~2x otherwise.
         rule = ("(p j) w n f, p w n f, p w n f, "
                 "(p j) w n f, p w n f, p w n f, "
                 "(p j) w n f, p w n f, p w n f, "
@@ -675,7 +689,7 @@ def _fused_fwd(z1, k2, b2, b1, interpret, spmd, biased_codes=False):
     bvec = (jnp.tile(b2c, 2) if biased_codes else b2c).reshape(1, -1)
     b1vec = jnp.tile(b1.astype(z1.dtype), 2).reshape(1, -1)
     if spmd:
-        tops, bots = _halo_rows(z1t, 2 * k)
+        tops, bots = _halo_rows(z1t, 2 * k, edge_fill=-jnp.inf)
         out_t, codes_t = _fwd_cp(k, interpret, biased_codes,
                                  bvec.shape[-1])(
             z1t, tops, bots, mw, sw, bvec, b1vec)
@@ -701,7 +715,7 @@ def _fused_bwd(interpret, spmd, res, g):
         gtop, gbot = _halo_rows(gt, k)
         otop, obot = _halo_rows(out_t, k)
         ctop, cbot = _halo_rows(codes_t, k)
-        ztop, zbot = _halo_rows(z1t, 2 * k)
+        ztop, zbot = _halo_rows(z1t, 2 * k, edge_fill=-jnp.inf)
         dz1t, dm_p, ds_p, db2_p, db1_p = _bwd_cp(k, interpret)(
             gt, gtop, gbot, out_t, otop, obot, codes_t, ctop, cbot,
             z1t, ztop, zbot, mwt, swt, b1vec)

@@ -197,3 +197,16 @@ def test_unet_packed_stage0_gradients_match():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_packed_concat_matches_canonical_concat():
+    """unpack(packed_concat(pack(a), pack(b))) == concat([a, b], -1) —
+    the lane-interleave the U-Net skip join depends on."""
+    from semanticsegmentation_tensorflow_tpu.ops.packed_conv import (
+        packed_concat,
+    )
+    a = jnp.arange(2 * 3 * 4 * 5, dtype=jnp.float32).reshape(2, 3, 4, 5)
+    b = -jnp.arange(2 * 3 * 4 * 7, dtype=jnp.float32).reshape(2, 3, 4, 7)
+    got = unpack_pairs(packed_concat(pack_pairs(a), pack_pairs(b)))
+    want = jnp.concatenate([a, b], axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

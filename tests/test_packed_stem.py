@@ -374,3 +374,47 @@ def test_max_pool_with_argmax_grad_routes_by_index():
     g = jax.grad(lambda x: jnp.sum(max_pool_with_argmax(x, 2)[0]))(x)
     np.testing.assert_array_equal(
         np.asarray(g)[0, :, :, 0], np.asarray([[1.0, 0.0], [0.0, 0.0]]))
+
+
+def test_fused_stage1_tail_spmd_mode_matches_reference():
+    """The SPMD halo-array mode (custom_partitioning path) is value- and
+    gradient-identical to the clamped-halo mode and the jnp reference —
+    with a NONZERO b1, which catches the edge-halo bias interaction (a
+    zero-filled pre-bias halo row would wrongly contribute relu(b1); the
+    arrays carry -inf at the global edges for exact SAME-pad zeros)."""
+    fused, ref = _fused_and_ref()
+    rng = np.random.default_rng(9)
+    z1 = jnp.asarray(rng.normal(size=(2, 8, 16, 128)), jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 64, 64)), jnp.float32) * 0.1
+    b2 = jnp.asarray(rng.normal(size=(64,)), jnp.float32) * 0.1
+    b1 = jnp.abs(jnp.asarray(rng.normal(size=(64,)), jnp.float32)) + 0.5
+
+    out = fused(z1, k2, b2, b1, True, True)   # interpret, spmd
+    expect = ref(z1, k2, b2, b1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+    cot = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    g1 = jax.grad(lambda *a: jnp.vdot(fused(*a, True, True), cot),
+                  (0, 1, 2, 3))(z1, k2, b2, b1)
+    g2 = jax.grad(lambda *a: jnp.vdot(ref(*a), cot),
+                  (0, 1, 2, 3))(z1, k2, b2, b1)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_segnet_tail_spmd_mode_matches_reference():
+    from semanticsegmentation_tensorflow_tpu.ops.pallas.stage1 import (
+        fused_segnet_stage1_tail, reference_segnet_stage1_tail,
+    )
+    rng = np.random.default_rng(10)
+    z1 = jnp.asarray(rng.integers(-2, 3, (1, 6, 8, 128)), jnp.float32)
+    k2 = jnp.asarray(rng.integers(-1, 2, (3, 3, 64, 64)), jnp.float32)
+    b2 = jnp.asarray(rng.integers(-2, 3, (64,)), jnp.float32)
+    b1 = jnp.asarray(rng.integers(1, 3, (64,)), jnp.float32)  # nonzero!
+
+    out, idx = fused_segnet_stage1_tail(z1, k2, b2, b1, True, True)
+    ref_out, ref_idx = reference_segnet_stage1_tail(z1, k2, b2, b1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))

@@ -292,6 +292,9 @@ def test_spatial_sharded_pallas_stage1_matches_single_device():
 
     sa = _tiny_state(seed=0, shape=(4, 64, 32, 3), opt="sgd", **kw)
     step_a = make_train_step(num_classes=2)
+    # TWO steps: step 2 runs with a NONZERO conv1_1 bias, exercising the
+    # edge-halo x bias interaction of the SPMD halo arrays (-inf fill)
+    sa, out_a = step_a(sa, batch)
     sa, out_a = step_a(sa, batch)
 
     mesh = make_mesh_2d(2, 4)
@@ -299,12 +302,13 @@ def test_spatial_sharded_pallas_stage1_matches_single_device():
     sb = replicate(sb, mesh)
     step_b = make_train_step(num_classes=2, mesh=mesh)
     sb, out_b = step_b(sb, shard_batch(batch, mesh))
+    sb, out_b = step_b(sb, shard_batch(batch, mesh))
 
     np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
-                               rtol=1e-5)
+                               rtol=2e-5)
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-6)
+                                   rtol=3e-4, atol=3e-6)
 
 
 def test_spatial_sharded_pallas_segnet_stage1_matches_single_device():

@@ -191,3 +191,34 @@ def test_transform_kernel_shape_and_linearity():
     np.testing.assert_allclose(np.asarray(u2), 2.0 * np.asarray(u),
                                rtol=1e-6)
     assert transform_kernel(k, "f2").shape == (4, 4, 4, 5)
+
+
+def test_production_winograd_conv2d_matches_direct():
+    """The materialized XLA production path (custom VJP): values within
+    bf16-Winograd tolerance of the f32 direct conv, gradients match the
+    direct conv's to bf16-grade bounds (relu=False to avoid threshold
+    flips — see test_decomposed_large_kernel_gradients)."""
+    from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+        winograd_conv2d,
+    )
+    x = _rand(30, (2, 8, 12, 8))
+    k = _rand(31, (3, 3, 8, 8), scale=0.2)
+    b = _rand(32, (8,), scale=0.1)
+
+    got = winograd_conv2d(x.astype(jnp.bfloat16), k, b, "f2", True)
+    want = jax.nn.relu(direct_conv2d(x, k) + b)
+    assert got.dtype == jnp.bfloat16
+    assert _relrms(got, want) < 1.5e-2
+
+    def loss(f):
+        return lambda xx, kk, bb: jnp.sum(
+            jnp.sin(f(xx, kk, bb).astype(jnp.float32)))
+
+    g1 = jax.grad(loss(lambda xx, kk, bb: winograd_conv2d(
+        xx.astype(jnp.bfloat16), kk, bb, "f2", False)),
+        argnums=(0, 1, 2))(x, k, b)
+    g2 = jax.grad(loss(lambda xx, kk, bb: direct_conv2d(xx, kk) + bb),
+                  argnums=(0, 1, 2))(x, k, b)
+    assert _relrms(g1[0].astype(jnp.float32), g2[0]) < 2e-2
+    assert _relrms(g1[1], g2[1]) < 2e-2
+    assert _relrms(g1[2], g2[2]) < 2e-2
