@@ -32,12 +32,13 @@ def winograd_impl(x_shape, kernel_shape, winograd: str | None,
     direct ~5.2 ms, fused-pallas f2 8.4 ms, materialized-XLA f2 20.0 ms
     (the a^2/m^2 V/M HBM round-trip, ~1 GB each way at stage-4 shapes,
     dwarfs the multiply saving; the fused kernel is choreography-bound —
-    ablations put its dots AND transform arithmetic near-free). The flag
-    therefore stays a tuning/benchmark knob, default off; the winning
-    FLOP-reduction lives in the fc6 7x7 decomposition
-    (ops/winograd.winograd_conv_large), which IS dot-dominated.
-    Ineligible layers silently fall back: the flag is a perf choice,
-    never an architecture change."""
+    ablations put its dots AND transform arithmetic near-free). The fc6
+    7x7 decomposition (ops/winograd.winograd_conv_large) was likewise
+    measured slower — its transformed-kernel build dominates
+    (ARCHITECTURE.md rejection 10 has the full table). The flag
+    therefore stays a tuning/benchmark knob, default off. Ineligible
+    layers silently fall back: the flag is a perf choice, never an
+    architecture change."""
     if not winograd or dilation != 1:
         return None
     from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
