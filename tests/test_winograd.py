@@ -193,32 +193,55 @@ def test_transform_kernel_shape_and_linearity():
     assert transform_kernel(k, "f2").shape == (4, 4, 4, 5)
 
 
-def test_production_winograd_conv2d_matches_direct():
+@pytest.mark.parametrize("variant,h,w", [("f2", 8, 12), ("f4", 10, 14)])
+def test_production_winograd_conv2d_matches_direct(variant, h, w):
     """The materialized XLA production path (custom VJP): values within
     bf16-Winograd tolerance of the f32 direct conv, gradients match the
     direct conv's to bf16-grade bounds (relu=False to avoid threshold
-    flips — see test_decomposed_large_kernel_gradients)."""
+    flips — see test_decomposed_large_kernel_gradients). f4 at a
+    non-tile-aligned shape exercises the pad-and-crop path."""
     from semanticsegmentation_tensorflow_tpu.ops.winograd import (
         winograd_conv2d,
     )
-    x = _rand(30, (2, 8, 12, 8))
+    x = _rand(30, (2, h, w, 8))
     k = _rand(31, (3, 3, 8, 8), scale=0.2)
     b = _rand(32, (8,), scale=0.1)
 
-    got = winograd_conv2d(x.astype(jnp.bfloat16), k, b, "f2", True)
+    got = winograd_conv2d(x.astype(jnp.bfloat16), k, b, variant, True)
     want = jax.nn.relu(direct_conv2d(x, k) + b)
     assert got.dtype == jnp.bfloat16
-    assert _relrms(got, want) < 1.5e-2
+    # f4's opt-in numerics cost (~5-7x the direct-bf16 error, module
+    # docstring); tiny 8-channel tensors sit near the bf16 noise floor
+    assert _relrms(got, want) < (1.5e-2 if variant == "f2" else 3e-2)
 
     def loss(f):
         return lambda xx, kk, bb: jnp.sum(
             jnp.sin(f(xx, kk, bb).astype(jnp.float32)))
 
     g1 = jax.grad(loss(lambda xx, kk, bb: winograd_conv2d(
-        xx.astype(jnp.bfloat16), kk, bb, "f2", False)),
+        xx.astype(jnp.bfloat16), kk, bb, variant, False)),
         argnums=(0, 1, 2))(x, k, b)
     g2 = jax.grad(loss(lambda xx, kk, bb: direct_conv2d(xx, kk) + bb),
                   argnums=(0, 1, 2))(x, k, b)
-    assert _relrms(g1[0].astype(jnp.float32), g2[0]) < 2e-2
-    assert _relrms(g1[1], g2[1]) < 2e-2
-    assert _relrms(g1[2], g2[2]) < 2e-2
+    tol = 2e-2 if variant == "f2" else 5e-2   # f4's larger bf16 amplification
+    assert _relrms(g1[0].astype(jnp.float32), g2[0]) < tol
+    assert _relrms(g1[1], g2[1]) < tol
+    assert _relrms(g1[2], g2[2]) < tol
+
+
+def test_model_level_winograd_xla_routing():
+    """ConvBlock with winograd='f2x' (force the materialized XLA path on
+    eligible full-lane layers) stays close to the direct-path block —
+    the routing suffix contract of models/common.winograd_impl."""
+    from semanticsegmentation_tensorflow_tpu.models.common import ConvBlock
+
+    x = _rand(33, (1, 8, 8, 128)) * 0.5
+    base = ConvBlock(128, n_convs=1, dtype=jnp.float32)
+    vs = base.init(jax.random.key(2), x)
+    wino = ConvBlock(128, n_convs=1, winograd="f2x", dtype=jnp.float32)
+    vs2 = wino.init(jax.random.key(2), x)
+    assert jax.tree.map(lambda t: t.shape, vs) == \
+        jax.tree.map(lambda t: t.shape, vs2)
+    y0 = base.apply(vs, x)
+    y1 = wino.apply(vs, x)
+    assert _relrms(y1, jnp.asarray(y0, jnp.float32)) < 1.5e-2
