@@ -71,7 +71,28 @@ def _step_sources_hash() -> str:
     return h.hexdigest()[:10]
 
 
+def _check_tpu_tunnel() -> None:
+    """Fail FAST if this environment's TPU relay is dead: the axon client
+    retries a refused connection forever, which turns a missing tunnel
+    into an infinite hang instead of an error. Only probes when the
+    loopback-relay env marker is present (this dev environment), so other
+    TPU setups are untouched."""
+    import os
+    import socket
+
+    if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
+        return
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            return
+    except OSError as e:
+        print(f"TPU tunnel unreachable (127.0.0.1:8082: {e}); "
+              "refusing to hang in backend init", file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main() -> None:
+    _check_tpu_tunnel()
     from semanticsegmentation_tensorflow_tpu.config import DataConfig
     from semanticsegmentation_tensorflow_tpu.data import make_augment_fn
     from semanticsegmentation_tensorflow_tpu.models import FCN8s
