@@ -287,6 +287,9 @@ def main() -> int:
     args = p.parse_args()
     steps = 5 if args.quick else 12
 
+    from bench import _check_tpu_tunnel
+    _check_tpu_tunnel()   # fail fast, never hang, when the relay is dead
+
     from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
     setup_runtime()
 
