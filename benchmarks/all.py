@@ -109,9 +109,23 @@ def _peak_tflops() -> float:
                 DEFAULT_PEAK)
 
 
+def _bench_batch(batch: int, h: int, w: int, num_classes: int) -> dict:
+    """Deterministic bench batch with a LEARNABLE label (label = channel-mean
+    quantized into num_classes buckets, a pixelwise function of the input) —
+    so the post-bench train-set mIoU is a meaningful numerics fingerprint:
+    bit-equal perf flags leave it identical, numerics-changing ones shift it
+    (VERDICT r3 #7: perf flags must never silently trade accuracy)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (batch, h, w, 3)).astype(np.uint8)
+    lbl = (img.mean(axis=-1) * num_classes / 256.0).astype(np.int32)
+    return {"image": jnp.asarray(img),
+            "label": jnp.asarray(np.clip(lbl, 0, num_classes - 1))}
+
+
 def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
                 display: str | None = None, num_classes: int = 2,
-                canon_kwargs: dict | None = None, **kwargs) -> dict:
+                canon_kwargs: dict | None = None,
+                compute_mfu: bool = True, **kwargs) -> dict:
     from semanticsegmentation_tensorflow_tpu.data import make_augment_fn
     from semanticsegmentation_tensorflow_tpu.models import build_model
     from semanticsegmentation_tensorflow_tpu.train import (
@@ -127,9 +141,7 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=num_classes, augment_fn=aug)
-    rng = np.random.default_rng(0)
-    b = {"image": jnp.asarray(rng.integers(0, 256, (batch, h, w, 3)).astype(np.uint8)),
-         "label": jnp.asarray(rng.integers(0, num_classes, (batch, h, w)).astype(np.int32))}
+    b = _bench_batch(batch, h, w, num_classes)
     state, out = step(state, b)
     _sync(out["loss"])
     t0 = time.perf_counter()
@@ -141,15 +153,29 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
     row = {"name": f"{display or model_name}_train", "batch": batch,
            "images_per_sec": round(ips, 2),
            "ms_per_step": round(dt / steps * 1000, 2)}
+    # train-set mIoU after the bench's deterministic steps: a free (the
+    # step already computes the confusion matrix) accuracy fingerprint —
+    # stable across bit-equal perf flags, shifted by numerics changes
+    if "cm" in out:
+        from semanticsegmentation_tensorflow_tpu.train.metrics import (
+            iou_from_confusion,
+        )
+        miou, _ = iou_from_confusion(jax.device_get(out["cm"]))
+        row["train_miou"] = round(float(miou), 4)
     # roofline context per model (VERDICT r2: a throughput number without a
-    # canonical-FLOPs denominator cannot be prioritized or judged)
-    fpi = _canonical_flops_per_img(model_name, batch, h, w, num_classes,
-                                   step, b, dict(canon_kwargs or {}, **kwargs))
-    if fpi:
-        peak = _peak_tflops()
-        row["canonical_gflop_per_img"] = round(fpi / 1e9, 1)
-        row["achieved_tflops"] = round(ips * fpi / 1e12, 1)
-        row["mfu"] = round(ips * fpi / 1e12 / peak, 4)
+    # canonical-FLOPs denominator cannot be prioritized or judged). The A/B
+    # flag harness passes compute_mfu=False: the canonical count costs a
+    # multi-minute tunneled compile per combo and would cache FLOP-inflated
+    # packed variants under 'canonical' keys (ADVICE r3).
+    if compute_mfu:
+        fpi = _canonical_flops_per_img(model_name, batch, h, w, num_classes,
+                                       step, b,
+                                       dict(canon_kwargs or {}, **kwargs))
+        if fpi:
+            peak = _peak_tflops()
+            row["canonical_gflop_per_img"] = round(fpi / 1e9, 1)
+            row["achieved_tflops"] = round(ips * fpi / 1e12, 1)
+            row["mfu"] = round(ips * fpi / 1e12 / peak, 4)
     return row
 
 

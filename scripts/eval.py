@@ -35,9 +35,14 @@ def main(argv=None):
                    help="labeled split to evaluate (default: 'val' for "
                         "cityscapes, 'train' for kitti_road, which has no "
                         "public val GT)")
+    p.add_argument("--model-kw", default=None,
+                   help="comma-separated model kwargs (k=v) — must match "
+                        "the flags the checkpoint was trained with")
     args = p.parse_args(argv)
 
-    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.config import (
+        get_preset, parse_model_kw,
+    )
     from semanticsegmentation_tensorflow_tpu.data import (
         build_dataset, normalize_images,
     )
@@ -53,7 +58,8 @@ def main(argv=None):
     cfg = get_preset(args.preset)
     dc = cfg.data
     model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
-                        **cfg.model_kwargs)
+                        **dict(cfg.model_kwargs,
+                               **parse_model_kw(args.model_kw)))
     stride = getattr(model, "total_stride", 32)
     h = -(-dc.image_size[0] // stride) * stride
     w = -(-dc.image_size[1] // stride) * stride

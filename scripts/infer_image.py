@@ -30,11 +30,16 @@ def main(argv=None):
     p.add_argument("--out", default="overlay.png")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--model-kw", default=None,
+                   help="comma-separated model kwargs (k=v) — must match "
+                        "the flags the checkpoint was trained with")
     args = p.parse_args(argv)
 
     from PIL import Image
 
-    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.config import (
+        get_preset, parse_model_kw,
+    )
     from semanticsegmentation_tensorflow_tpu.infer import Predictor
     from semanticsegmentation_tensorflow_tpu.models import build_model
     from semanticsegmentation_tensorflow_tpu.train.state import create_abstract_state
@@ -44,7 +49,9 @@ def main(argv=None):
     cfg = get_preset(args.preset)
     model_name = args.model or cfg.model
     dc = cfg.data
-    model = build_model(model_name, num_classes=dc.num_classes, **cfg.model_kwargs)
+    model = build_model(model_name, num_classes=dc.num_classes,
+                        **dict(cfg.model_kwargs,
+                               **parse_model_kw(args.model_kw)))
     stride = getattr(model, "total_stride", 32)
     h = -(-dc.image_size[0] // stride) * stride
     w = -(-dc.image_size[1] // stride) * stride

@@ -30,11 +30,16 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1,
                    help="batch the sweep (reference mode is 1 image at a "
                         "time; batch 8 is ~2x device throughput)")
+    p.add_argument("--model-kw", default=None,
+                   help="comma-separated model kwargs (k=v) — must match "
+                        "the flags the checkpoint was trained with")
     args = p.parse_args(argv)
 
     import jax
 
-    from semanticsegmentation_tensorflow_tpu.config import get_preset
+    from semanticsegmentation_tensorflow_tpu.config import (
+        get_preset, parse_model_kw,
+    )
     from semanticsegmentation_tensorflow_tpu.data import KittiRoadDataset
     from semanticsegmentation_tensorflow_tpu.infer import (
         Predictor, save_inference_samples,
@@ -47,7 +52,8 @@ def main(argv=None):
     cfg = get_preset(args.preset)
     dc = cfg.data
     model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
-                        **cfg.model_kwargs)
+                        **dict(cfg.model_kwargs,
+                               **parse_model_kw(args.model_kw)))
     stride = getattr(model, "total_stride", 32)
     h = -(-dc.image_size[0] // stride) * stride
     w = -(-dc.image_size[1] // stride) * stride

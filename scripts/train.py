@@ -23,21 +23,6 @@ import tempfile
 import jax
 
 
-def _parse_kw_value(v: str):
-    """CLI model-kwarg literal: bool/None/int/float/str, in that order."""
-    low = v.lower()
-    if low in ("true", "false"):
-        return low == "true"
-    if low in ("none", "null"):
-        return None
-    for cast in (int, float):
-        try:
-            return cast(v)
-        except ValueError:
-            pass
-    return v
-
-
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
@@ -134,17 +119,13 @@ def main(argv=None):
     ds = build_dataset(dc.dataset, data_dir, dc.image_size)
     n_train = len(ds.train_images)
 
-    model_kwargs = dict(cfg.model_kwargs)
-    if args.model_kw:
-        for pair in args.model_kw.split(","):
-            k, _, v = pair.partition("=")
-            model_kwargs[k.strip()] = _parse_kw_value(v.strip())
+    from semanticsegmentation_tensorflow_tpu.config import parse_model_kw
+    model_kwargs = dict(cfg.model_kwargs, **parse_model_kw(args.model_kw))
     if args.spatial > 1:
         from semanticsegmentation_tensorflow_tpu.models.registry import (
-            spmd_safe_kwargs,
+            merge_spmd_safe_kwargs,
         )
-        for k, v in spmd_safe_kwargs(cfg.model).items():
-            model_kwargs.setdefault(k, v)
+        model_kwargs = merge_spmd_safe_kwargs(cfg.model, model_kwargs)
     model = build_model(cfg.model, num_classes=dc.num_classes, **model_kwargs)
     stride = getattr(model, "total_stride", 32)
 

@@ -109,3 +109,36 @@ def get_preset(name: str) -> ExperimentConfig:
         return PRESETS[name]
     except KeyError:
         raise ValueError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+
+
+def _parse_kw_value(v: str):
+    """CLI model-kwarg literal: bool/None/int/float/str, in that order."""
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def parse_model_kw(spec: str | None) -> dict[str, Any]:
+    """Parse a ``--model-kw`` CLI string (``k=v,k2=v2``) into model kwargs.
+
+    Shared by every entry script so a model trained with flag overrides
+    (e.g. ``fc_features=1024``) can be LOADED BACK by test/eval/infer with
+    a matching architecture — without it the checkpoint restore fails on
+    a shape mismatch against the preset-default model (round 4; the
+    reference's scripts have no such problem only because they hardcode
+    one architecture per file, SURVEY.md §1)."""
+    out: dict[str, Any] = {}
+    for pair in (spec or "").split(","):
+        if not pair.strip():
+            continue
+        k, _, v = pair.partition("=")
+        out[k.strip()] = _parse_kw_value(v.strip())
+    return out

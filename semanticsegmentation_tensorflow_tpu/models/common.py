@@ -44,14 +44,19 @@ def winograd_impl(x_shape, kernel_shape, winograd: str | None,
     from semanticsegmentation_tensorflow_tpu.ops.pallas.winograd import (
         eligible,
     )
-    from semanticsegmentation_tensorflow_tpu.ops.winograd import VARIANTS
+    from semanticsegmentation_tensorflow_tpu.ops.winograd import (
+        VARIANTS, xla_eligible,
+    )
     force_xla = winograd.endswith("x")
     base = winograd[:-1] if force_xla else winograd
     if base not in VARIANTS:
         raise ValueError(f"unknown winograd variant {winograd!r}")
-    if not eligible(x_shape, kernel_shape, base):
-        return None
-    return "xla" if force_xla else "pallas"
+    if force_xla:
+        # the materialized-XLA path pads arbitrary H/W/C itself — gate on
+        # ITS eligibility (kernel/width economics), not the Pallas kernel's
+        # alignment rules, or 'f4x' silently no-ops on layers it supports
+        return "xla" if xla_eligible(x_shape, kernel_shape, base) else None
+    return "pallas" if eligible(x_shape, kernel_shape, base) else None
 
 
 def winograd_ok(x: jax.Array, kernel_shape, winograd: str | None,

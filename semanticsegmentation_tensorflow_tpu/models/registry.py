@@ -43,3 +43,23 @@ def spmd_safe_kwargs(name: str) -> dict[str, Any]:
     if name in ("unet", "deeplab"):
         return {"winograd": None}
     return {}
+
+
+def merge_spmd_safe_kwargs(name: str, kwargs: dict[str, Any]) -> dict[str, Any]:
+    """Merge :func:`spmd_safe_kwargs` into user kwargs for a spatial mesh,
+    warning LOUDLY on any conflict instead of silently dropping or silently
+    keeping the user's choice. The user's explicit value still wins
+    (setdefault semantics) so the failure, if any, is an honest partitioner
+    error preceded by a warning that names the flag."""
+    import warnings
+
+    for k, v in spmd_safe_kwargs(name).items():
+        if k in kwargs and kwargs[k] != v:
+            warnings.warn(
+                f"model kwarg {k}={kwargs[k]!r} has no partitioning rule "
+                f"under a spatially-partitioned (2-D) mesh; the SPMD-safe "
+                f"value is {k}={v!r}. Keeping your explicit choice — expect "
+                f"a partitioner error if this path is exercised.",
+                stacklevel=2)
+        kwargs.setdefault(k, v)
+    return kwargs

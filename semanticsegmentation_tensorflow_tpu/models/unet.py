@@ -38,7 +38,17 @@ class UNet(nn.Module):
     # 384x1248 (46.4 -> 44.3: upconv0's first conv consumes an already-
     # full-lane concat, and the extra full-res skip pass grows with
     # area — set False for very large inputs).
-    packed_stage0: bool = True
+    # "mixed" (round 4, the A/B named in ARCHITECTURE.md): packed down0 +
+    # packed up0 transpose-conv + packed concat, then UNPACK — upconv0's
+    # convs and the head consume an already-full-lane 128-ch input, where
+    # packing doubles FLOPs for no lane win (the conv2_1 lesson).
+    packed_stage0: bool | str = True
+    # compute the up1..up{d} 2x2/2 transposed convs as 1x1-conv +
+    # depth-to-space (ops/fast_upsample.fast_conv_transpose_2x2) instead
+    # of XLA's fractionally-strided conv. Same canonical params; bit-equal
+    # values. A perf A/B knob (VERDICT r3 #2) — default off until
+    # measured on the chip.
+    fast_upconv: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @property
@@ -85,14 +95,34 @@ class UNet(nn.Module):
                 xp = packed_conv_transpose_2x2(x, ku, bu, self.dtype)
                 xp = packed_concat(pack_pairs(skips[0].astype(self.dtype)),
                                    xp)
+                if self.packed_stage0 == "mixed":
+                    # unpack after the concat (flag docstring above);
+                    # upconv0/head run canonical — same param tree either
+                    # way (_ConvParams mirrors nn.Conv paths/init)
+                    x = unpack_pairs(xp)
+                    x = ConvBlock(feats, use_bn=self.use_bn,
+                                  winograd=self.winograd, dtype=self.dtype,
+                                  name="upconv0")(x, train=train)
+                    x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                                name="head")(x)
+                    return x.astype(jnp.float32)
                 xp = PackedConvBlock(feats, n_convs=2, dtype=self.dtype,
                                      name="upconv0")(xp)
                 kh, bh = _ConvParams(feats, self.num_classes,
                                      kernel_size=1, name="head")()
                 xp = packed_conv1x1(xp, kh, bh, self.dtype)
                 return unpack_pairs(xp).astype(jnp.float32)
-            x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2), padding="SAME",
-                                 dtype=self.dtype, name=f"up{i}")(x)
+            if self.fast_upconv:
+                from semanticsegmentation_tensorflow_tpu.ops.fast_upsample import (
+                    fast_conv_transpose_2x2,
+                )
+                ku, bu = _ConvParams(x.shape[-1], feats, kernel_size=2,
+                                     name=f"up{i}")()
+                x = fast_conv_transpose_2x2(x, ku, bu, self.dtype)
+            else:
+                x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
+                                     padding="SAME", dtype=self.dtype,
+                                     name=f"up{i}")(x)
             x = jnp.concatenate([skips[i], x], axis=-1)
             x = ConvBlock(feats, use_bn=self.use_bn, winograd=self.winograd,
                           dtype=self.dtype, name=f"upconv{i}")(x, train=train)

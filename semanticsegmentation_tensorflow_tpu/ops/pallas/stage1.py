@@ -153,7 +153,7 @@ def _dotT(a: jax.Array, b: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, b1, out, codes, *,
-                biased_codes=False, edge_masks=True):
+                biased_codes=False, edge_masks=True, fold_b1=True):
     """Grid (Hp/K, N/nt). Inputs: the pre-relu conv1_1 rows for K pool
     rows — a [2K,...] center block plus 1-row top/bottom halo blocks —
     and the packed tap matrices + bias. Outputs: K pooled+bias+relu rows
@@ -181,10 +181,19 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, b1, out, codes, *,
     but the codes then index the pre-relu ordering, which relu reorders
     for negatives; only the FCN mode may defer. The backward is identical
     in both modes: the ``pooled > 0`` mask equals the selected element's
-    relu mask either way."""
+    relu mask either way.
+
+    ``fold_b1`` (static; == the SPMD mode, see fused_stage1_tail): when
+    True, z1 arrives WITHOUT the conv1_1 bias and the kernel applies
+    relu(z + b1) — required under sharding, where db1 then falls out as
+    per-block partials. When False (single-device), z1 arrives pre-biased
+    (the add fuses into conv1_1's XLA epilogue for free) and the kernel
+    runs plain relu(z) — the per-element +b1 adds and the db1 VPU
+    accumulation measured ~2 ms/step of the bwd kernel (VERDICT r3 #4),
+    vs ~1.3 ms for the XLA dz1-sum they replace."""
     dt = ycen.dtype
     k2r = ycen.shape[0]                     # 2K conv rows
-    b1full = b1[0].astype(dt)               # conv1_1 bias, pre-tiled [2F]
+    b1full = b1[0].astype(dt) if fold_b1 else None  # pre-tiled [2F]
     if edge_masks:
         p = pl.program_id(0)
         npr = pl.num_programs(0)
@@ -192,19 +201,18 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, b1, out, codes, *,
         bot_ok = (p < npr - 1).astype(dt)
 
     def load(i):                            # local conv-input row -1..2K
-        # z1 arrives WITHOUT the conv1_1 bias (folded here): relu(z + b1).
-        # Edge masking applies after — a masked halo row contributes zero,
-        # exactly the SAME-pad semantics.
+        # fold_b1: z1 arrives WITHOUT the conv1_1 bias (folded here):
+        # relu(z + b1). Edge masking applies after — a masked halo row
+        # contributes zero, exactly the SAME-pad semantics.
         if i < 0:
-            r = jnp.maximum(ytop[0] + b1full, 0)
-            if edge_masks:
-                r = r * top_ok
+            y, ok = ytop[0], (top_ok if edge_masks else None)
         elif i >= k2r:
-            r = jnp.maximum(ybot[0] + b1full, 0)
-            if edge_masks:
-                r = r * bot_ok
+            y, ok = ybot[0], (bot_ok if edge_masks else None)
         else:
-            r = jnp.maximum(ycen[i] + b1full, 0)
+            y, ok = ycen[i], None
+        r = jnp.maximum(y + b1full, 0) if fold_b1 else jnp.maximum(y, 0)
+        if ok is not None:
+            r = r * ok
         return r, _build_q(r)
 
     win: dict[int, tuple] = {}
@@ -262,7 +270,7 @@ def _fwd_kernel(ytop, ycen, ybot, mw, sw, b2, b1, out, codes, *,
 
 def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
                 ztop, zcen, zbot, mwt, swt, b1, dz1, dm, ds, db2, db1, *,
-                edge_masks=True):
+                edge_masks=True, fold_b1=True):
     """Grid (Hp/K, N/nt). Inputs: grad/out/codes for pool rows Kp-1..Kp+K
     (a [K,...] center block + 1-row halo blocks — clamped+masked or from
     dedicated halo arrays, see _fwd_kernel's ``edge_masks``) and the
@@ -315,19 +323,20 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         return jnp.where(cfull == tgt, gfull,
                          jnp.zeros_like(gfull)).astype(dt)
 
-    b1full = b1[0].astype(dt)               # conv1_1 bias (folded)
+    # conv1_1 bias (folded; z rows arrive pre-biased when fold_b1=False —
+    # see _fwd_kernel's fold_b1 note)
+    b1full = b1[0].astype(dt) if fold_b1 else None
 
     def make_yq(i):                         # local conv-input row -1..2K
         if i < 0:
-            r = jnp.maximum(ztop[0] + b1full, 0)
-            if edge_masks:
-                r = r * top_ok
+            z, ok = ztop[0], (top_ok if edge_masks else None)
         elif i >= 2 * kk:
-            r = jnp.maximum(zbot[0] + b1full, 0)
-            if edge_masks:
-                r = r * bot_ok
+            z, ok = zbot[0], (bot_ok if edge_masks else None)
         else:
-            r = jnp.maximum(zcen[i] + b1full, 0)
+            z, ok = zcen[i], None
+        r = jnp.maximum(z + b1full, 0) if fold_b1 else jnp.maximum(z, 0)
+        if ok is not None:
+            r = r * ok
         return r, _build_q(r)
 
     # input grad: dy[h] = sum_dy dz[h+1-dy] @ M[dy]^T + Q-inverse of
@@ -363,14 +372,17 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         # relu mask of the (biased) pre-relu conv1_1 row — the same bf16
         # add as the forward, compared in f32
         dy = igrad_row((dzw[h - 1], dzw[h], dzw[h + 1]))
-        dzv = jnp.where((zcen[h] + b1full).astype(jnp.float32) > 0, dy,
+        zb = (zcen[h] + b1full) if fold_b1 else zcen[h]
+        dzv = jnp.where(zb.astype(jnp.float32) > 0, dy,
                         jnp.zeros_like(dy)).astype(dt)
         dz1[h] = dzv
-        # accumulate FULL-SHAPE (cheap VPU adds); the cross-position
-        # reduce runs once per program at the end — per-row reshape+
-        # reduce measured +2 ms/step on the whole kernel
-        acc_db1 = dzv.astype(jnp.float32) if acc_db1 is None \
-            else acc_db1 + dzv.astype(jnp.float32)
+        if fold_b1:
+            # accumulate FULL-SHAPE (cheap VPU adds); the cross-position
+            # reduce runs once per program at the end — per-row reshape+
+            # reduce measured +2 ms/step on the whole kernel. (fold_b1=
+            # False skips this entirely: db1 = the XLA sum over dz1.)
+            acc_db1 = dzv.astype(jnp.float32) if acc_db1 is None \
+                else acc_db1 + dzv.astype(jnp.float32)
         # kernel grad: dM[dy] += y[h+dy-1]^T @ dz[h], dS[dy] += Q^T @ dz[h]
         for t in range(3):
             r, q = yqw[h + t - 1]
@@ -391,8 +403,9 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
     w_, nt_, _ = gsum.shape
     db2[0] = db2[0] + jnp.sum(gsum.reshape(w_ * nt_, F), axis=0,
                               keepdims=True)
-    db1[0] = db1[0] + jnp.sum(acc_db1.reshape(w_ * nt_, 2 * F), axis=0,
-                              keepdims=True)
+    if fold_b1:
+        db1[0] = db1[0] + jnp.sum(acc_db1.reshape(w_ * nt_, 2 * F), axis=0,
+                                  keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -499,7 +512,7 @@ def _fwd_call(z1t, tops, bots, mw, sw, bvec, b1vec, *, k, interpret,
     flops = 2 * (12 * w * nt * c * c) * hp * (n // nt)
     return pl.pallas_call(
         partial(_fwd_kernel, biased_codes=biased_codes,
-                edge_masks=not spmd),
+                edge_masks=not spmd, fold_b1=spmd),
         grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -560,7 +573,7 @@ def _bwd_call(gt, gtop, gbot, ot, otop, obot, ct, ctop, cbot,
     ]
     flops = 2 * (24 * w * nt * c * c) * hp * (n // nt)
     return pl.pallas_call(
-        partial(_bwd_kernel, edge_masks=not spmd),
+        partial(_bwd_kernel, edge_masks=not spmd, fold_b1=spmd),
         grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -663,11 +676,14 @@ def _bwd_cp(k: int, interpret: bool):
 def fused_stage1_tail(z1, k2, b2, b1, interpret=False, spmd=False):
     """(+b1) -> relu -> packed conv1_2 -> 2x2 pool -> +b2 -> relu, fused.
 
-    z1: [N,H,Wp,2F] packed conv1_1 output WITHOUT its bias — b1 [F] is
-    folded into the kernel (round 3: the separate XLA bias-add was free,
-    but its TRANSPOSE was a full-size reduce over the kernel's dz1 output,
-    profiled at ~1.3 ms/step; in-kernel, db1 falls out of rows already in
-    VMEM). k2: [3,3,F,F] canonical conv1_2 kernel. b2: [F].
+    z1: [N,H,Wp,2F] packed conv1_1 output WITHOUT its bias. b1 [F] is
+    folded into the kernel ONLY in SPMD mode, where db1 must fall out as
+    per-block partials; single-device the wrapper pre-adds the bias (it
+    fuses into conv1_1's XLA epilogue) and computes db1 as an XLA sum
+    over dz1 — round 4, VERDICT r3 #4: the round-3 always-fold version
+    cost the bwd kernel ~2 ms/step of VPU adds to save a ~1.3 ms XLA
+    reduce, a measured net loss on the single-chip headline.
+    k2: [3,3,F,F] canonical conv1_2 kernel. b2: [F].
     Returns the canonical pooled stage1 output [N,H/2,Wp,F].
     ``spmd=True`` takes the custom_partitioning halo-array path —
     shardable on batch AND height (see _cp_wrap above) at a few ms/step
@@ -681,13 +697,21 @@ def fused_stage1_tail(z1, k2, b2, b1, interpret=False, spmd=False):
 def _fused_fwd(z1, k2, b2, b1, interpret, spmd, biased_codes=False):
     n, h, w, c = z1.shape
     mw, sw = _build_mats(k2, z1.dtype)
+    b2c = b2.astype(z1.dtype)
+    bvec = (jnp.tile(b2c, 2) if biased_codes else b2c).reshape(1, -1)
+    b1vec = jnp.tile(b1.astype(z1.dtype), 2).reshape(1, -1)
+    if not spmd:
+        # single-device: bias z1 HERE — the add fuses into conv1_1's XLA
+        # output epilogue (free), the kernels run unfolded (fold_b1=False,
+        # see _fwd_kernel), and the residual saves the BIASED z1 so the
+        # bwd kernel reads it directly. SPMD keeps the in-kernel fold:
+        # there db1 must fall out as per-block partials, and the halo
+        # arrays' -inf edge fill assumes pre-bias rows.
+        z1 = z1 + b1vec.reshape(1, 1, 1, -1)
     # HWNC view: bit-identical buffer to the {3,0,2,1} layout XLA picks for
     # conv outputs, so this transpose (and the one back) is a bitcast
     z1t = jnp.transpose(z1, (1, 2, 0, 3))
     k = _pick_k(h // 2)                     # from the GLOBAL shape
-    b2c = b2.astype(z1.dtype)
-    bvec = (jnp.tile(b2c, 2) if biased_codes else b2c).reshape(1, -1)
-    b1vec = jnp.tile(b1.astype(z1.dtype), 2).reshape(1, -1)
     if spmd:
         tops, bots = _halo_rows(z1t, 2 * k, edge_fill=-jnp.inf)
         out_t, codes_t = _fwd_cp(k, interpret, biased_codes,
@@ -727,7 +751,14 @@ def _fused_bwd(interpret, spmd, res, g):
     dm = jnp.sum(dm_p, axis=0)
     ds = jnp.sum(ds_p, axis=0)
     db2 = jnp.sum(db2_p, axis=0)
-    db1p = jnp.sum(db1_p, axis=0).reshape(2 * F)
+    if spmd:
+        db1p = jnp.sum(db1_p, axis=0).reshape(2 * F)
+    else:
+        # unfolded kernel (fold_b1=False): db1 is the plain XLA sum over
+        # the kernel's dz1 output (dz1b == dz1: the bias add is identity
+        # in the gradient) — measured ~1.3 ms vs ~2 ms of in-kernel VPU
+        # accumulation (VERDICT r3 #4)
+        db1p = jnp.sum(dz1t, axis=(0, 1, 2), dtype=jnp.float32)
     db1 = (db1p[:F] + db1p[F:]).astype(b1.dtype)  # tile-transpose
     dz1 = jnp.transpose(dz1t, (2, 0, 1, 3))
     dk2 = _dk_from_mats(dm, ds).astype(k2.dtype)

@@ -106,6 +106,13 @@ def _width_transform(row: jax.Array, bt) -> list[jax.Array]:
 import os as _os_ab
 
 _ABLATE = _os_ab.environ.get("WINOGRAD_ABLATE", "")
+if _ABLATE:  # numerics are deliberately WRONG under ablation — never silent
+    import warnings as _warnings_ab
+
+    _warnings_ab.warn(
+        f"WINOGRAD_ABLATE={_ABLATE!r} is set: winograd_conv_bias_relu will "
+        "return deliberately WRONG results (timing-attribution ablation for "
+        "the tuning harness only). Unset it for any real run.")
 
 
 def _dot(v: jax.Array, u: jax.Array) -> jax.Array:

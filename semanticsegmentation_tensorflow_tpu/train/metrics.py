@@ -20,6 +20,7 @@ def confusion_matrix(
     pred_labels: jax.Array,
     num_classes: int,
     valid_mask: jax.Array | None = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """[C, C] counts, rows = true class, cols = predicted class.
 
@@ -29,10 +30,26 @@ def confusion_matrix(
     ``cm = onehot(true)^T @ onehot(pred)``. One-hot values are exact in bf16
     and the f32 accumulation is exact for < 2^24 pixels per entry, so counts
     stay integer-exact while the op becomes a single dense matmul.
+
+    ``impl``: 'matmul' (the one-hot contraction), 'direct' (C^2 fused
+    compare-and-reduce passes — no one-hot materialization, no 2/128-lane
+    MXU tile waste at tiny C; candidate for the ~4 ms metrics excess in the
+    round-3 SegNet profile, only sensible for small C), or 'auto'
+    (currently matmul; flipped per-measurement once A/B'd on the chip).
     """
     t = true_labels.reshape(-1)
     p = pred_labels.reshape(-1)
     v = None if valid_mask is None else valid_mask.reshape(-1)
+
+    if impl == "direct" or (impl == "auto" and False):  # auto: pending A/B
+        ti = [t == i for i in range(num_classes)]
+        if v is not None:
+            vb = v.astype(bool)
+            ti = [x & vb for x in ti]
+        pj = [p == j for j in range(num_classes)]
+        return jnp.stack([
+            jnp.stack([jnp.sum(a & b, dtype=jnp.int32) for b in pj])
+            for a in ti])
 
     def contract(t, p, v):
         t1h = jax.nn.one_hot(t, num_classes, dtype=jnp.bfloat16)  # [P, C]

@@ -25,6 +25,19 @@ def test_confusion_matrix_respects_valid_mask():
     np.testing.assert_array_equal(cm, [[1, 0], [0, 1]])
 
 
+def test_confusion_matrix_direct_impl_matches_matmul():
+    """The 'direct' compare-and-reduce form (round-4 A/B candidate for the
+    metrics excess) must count identically to the matmul form."""
+    rng = np.random.default_rng(0)
+    true = jnp.asarray(rng.integers(0, 3, (7, 11)))
+    pred = jnp.asarray(rng.integers(0, 3, (7, 11)))
+    valid = jnp.asarray(rng.integers(0, 2, (7, 11)))
+    for v in (None, valid):
+        a = np.asarray(confusion_matrix(true, pred, 3, v, impl="matmul"))
+        b = np.asarray(confusion_matrix(true, pred, 3, v, impl="direct"))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_iou_perfect_and_disjoint():
     perfect = jnp.eye(3) * 10
     iou, miou = iou_from_confusion(perfect)

@@ -180,6 +180,45 @@ def test_unet_packed_stage0_matches_unpacked():
                                rtol=3e-4, atol=3e-4)
 
 
+def test_unet_packed_stage0_mixed_matches_unpacked():
+    """packed_stage0='mixed' (packed down0/up0/concat, canonical upconv0 +
+    head — the full-res A/B named in ARCHITECTURE.md / VERDICT r3 #3):
+    identical param tree, logits equal up to float summation order."""
+    from semanticsegmentation_tensorflow_tpu.models.unet import UNet
+
+    kw = dict(num_classes=3, base_features=64, depth=2, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (1, 16, 24, 3))
+    base = UNet(packed_stage0=False, **kw)
+    vs = base.init(jax.random.key(1), x, train=False)
+    mixed = UNet(packed_stage0="mixed", **kw)
+    vs2 = mixed.init(jax.random.key(1), x, train=False)
+    assert jax.tree.map(lambda t: t.shape, vs) == \
+        jax.tree.map(lambda t: t.shape, vs2)
+    y0 = base.apply(vs, x, train=False)
+    y1 = mixed.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_unet_packed_stage0_mixed_gradients_match():
+    from semanticsegmentation_tensorflow_tpu.models.unet import UNet
+
+    kw = dict(num_classes=2, base_features=64, depth=1, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(3), (1, 8, 12, 3))
+    base = UNet(packed_stage0=False, **kw)
+    vs = base.init(jax.random.key(1), x, train=False)
+    mixed = UNet(packed_stage0="mixed", **kw)
+
+    def loss(m):
+        return lambda p: jnp.mean(m.apply(p, x, train=False) ** 2)
+
+    g0 = jax.grad(loss(base))(vs)
+    g1 = jax.grad(loss(mixed))(vs)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_unet_packed_stage0_gradients_match():
     from semanticsegmentation_tensorflow_tpu.models.unet import UNet
 

@@ -311,6 +311,76 @@ def test_spatial_sharded_pallas_stage1_matches_single_device():
                                    rtol=3e-4, atol=3e-6)
 
 
+def _equality_vs_single_device(kw: dict, mesh, batch, n_steps: int = 2,
+                               loss_rtol: float = 5e-5,
+                               param_rtol: float = 3e-4,
+                               param_atol: float = 3e-6) -> None:
+    """Shared harness: n_steps sharded steps == n_steps single-device steps
+    (loss + every param). Two steps by default so step 2 runs with NONZERO
+    biases — the halo/edge interactions that one-step-from-init tests are
+    blind to (the -inf halo-fill lesson, ops/pallas/stage1.py)."""
+    shape = tuple(batch["image"].shape[:3]) + (3,)
+    sa = _tiny_state(seed=0, shape=shape, opt="sgd", **kw)
+    step_a = make_train_step(num_classes=2)
+    for _ in range(n_steps):
+        sa, out_a = step_a(sa, batch)
+
+    sb = _tiny_state(seed=0, shape=shape, opt="sgd", **kw)
+    sb = replicate(sb, mesh)
+    step_b = make_train_step(num_classes=2, mesh=mesh)
+    sharded = shard_batch(batch, mesh)
+    for _ in range(n_steps):
+        sb, out_b = step_b(sb, sharded)
+
+    np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                               rtol=loss_rtol)
+    flat_a = jax.tree_util.tree_flatten_with_path(sa.params)[0]
+    flat_b = jax.tree.leaves(sb.params)
+    for (path, a), b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=param_rtol, atol=param_atol,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_segnet_packed_dec1_matches_single_device_1d_mesh():
+    """VERDICT r3 #5: the default-on SegNet packed decoder stage1 (the
+    packed_unpool custom VJP, ops/packed_conv.py) under the 1-D shard_map
+    data mesh — grads == single-device."""
+    kw = dict(name="segnet", width_mult=1.0, packed_stage1=False,
+              packed_dec1=True, dtype=jnp.float32)
+    _equality_vs_single_device(kw, make_mesh(), _batch(8, h=32, w=32))
+
+
+def test_segnet_packed_dec1_matches_single_device_2d_mesh():
+    """Same packed_dec1 path under the 2-D height-sharded mesh: the
+    custom-VJP packed unpool + packed convs must partition along H (the
+    pack dim is W — orthogonal to the sharded axis, but custom_vjp x pjit
+    is exactly the combination that bites silently)."""
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+
+    kw = dict(name="segnet", width_mult=1.0, packed_stage1=False,
+              packed_dec1=True, dtype=jnp.float32)
+    _equality_vs_single_device(kw, make_mesh_2d(2, 4), _batch(4, h=64, w=32))
+
+
+def test_unet_packed_stage0_matches_single_device_1d_mesh():
+    """VERDICT r3 #5: the default-on U-Net packed stage0 (PackedUNetDown0 +
+    packed transpose-conv/concat/head, ops/packed_conv.py) under the 1-D
+    shard_map data mesh — grads == single-device."""
+    kw = dict(name="unet", base_features=64, packed_stage0=True,
+              dtype=jnp.float32)
+    _equality_vs_single_device(kw, make_mesh(), _batch(8, h=32, w=32))
+
+
+def test_unet_packed_stage0_matches_single_device_2d_mesh():
+    """Same packed_stage0 path under the 2-D height-sharded mesh."""
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+
+    kw = dict(name="unet", base_features=64, packed_stage0=True,
+              dtype=jnp.float32)
+    _equality_vs_single_device(kw, make_mesh_2d(2, 4), _batch(4, h=64, w=32))
+
+
 def test_spatial_sharded_pallas_segnet_stage1_matches_single_device():
     # loss rtol 5e-5: SegNet's full-width (width_mult=1) tree makes the
     # partitioned CE reduction's f32 summation-order noise ~2e-5; the

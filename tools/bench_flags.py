@@ -29,7 +29,10 @@ def main() -> None:
     p.add_argument("--nc", type=int, default=2)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--ab", required=True,
-                   help="comma-separated boolean model kwargs to A/B")
+                   help="comma-separated boolean model kwargs to A/B; a "
+                        "flag may carry explicit values as "
+                        "name=v1|v2|... (json-parsed, e.g. "
+                        "packed_stage0=false|true|\"mixed\")")
     p.add_argument("--base", default="{}",
                    help="json dict of fixed model kwargs")
     args = p.parse_args()
@@ -39,21 +42,29 @@ def main() -> None:
 
     from benchmarks.all import bench_train
 
-    flags = args.ab.split(",")
     base = json.loads(args.base)
-    combos = [dict.fromkeys(flags, True), dict.fromkeys(flags, False)]
-    if len(flags) > 1:
-        for f in flags:
-            combos.append({k: (k == f) for k in flags})
+    if "=" in args.ab:
+        # explicit value sweep: one flag, each listed value is a combo
+        name, _, vals = args.ab.partition("=")
+        combos = [{name: json.loads(v)} for v in vals.split("|")]
+    else:
+        flags = args.ab.split(",")
+        combos = [dict.fromkeys(flags, True), dict.fromkeys(flags, False)]
+        if len(flags) > 1:
+            for f in flags:
+                combos.append({k: (k == f) for k in flags})
     for combo in combos:
         kw = dict(base, **combo)
-        tag = "+".join(k for k, v in combo.items() if v) or "none"
+        tag = "+".join(k if v is True else f"{k}={v}"
+                       for k, v in combo.items() if v) or "none"
+        # compute_mfu=False: the roofline denominator is a per-config
+        # constant — recounting it per flag combo would cost a multi-minute
+        # tunneled compile each AND pollute canonical_flops.json with
+        # FLOP-inflated packed variants (ADVICE r3). train_miou stays: it is
+        # the free numerics fingerprint for the A/B.
         row = bench_train(args.model, args.batch, args.h, args.w,
                           args.steps, display=f"{args.model}[{tag}]",
-                          num_classes=args.nc, canon_kwargs=None, **kw)
-        row.pop("canonical_gflop_per_img", None)
-        row.pop("achieved_tflops", None)
-        row.pop("mfu", None)
+                          num_classes=args.nc, compute_mfu=False, **kw)
         print(row, flush=True)
 
 
