@@ -158,8 +158,15 @@ class CheckpointManager:
             try:
                 restored = _restore(dict(template, rng_data=data,
                                          rng_impl=impl_u8))
-            except (ValueError, KeyError):
-                restored = _restore(dict(template, rng=state.rng))
+            except Exception as first_err:  # noqa: BLE001 — orbax raises
+                # assorted types on a layout mismatch (ValueError, KeyError,
+                # its own error classes); try the legacy typed-key layout,
+                # and if that fails too re-raise the CURRENT-layout error
+                # (the informative one) rather than the legacy attempt's
+                try:
+                    restored = _restore(dict(template, rng=state.rng))
+                except Exception:
+                    raise first_err from None
         if "rng_data" in restored:
             import numpy as np
 

@@ -36,15 +36,13 @@ def test_all_registry_models_instantiable():
 
 
 def test_train_cli_model_kw_parser():
-    """--model-kw literals: bools, none, numbers, strings."""
-    import sys, os
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
-    from scripts.train import _parse_kw_value
+    """--model-kw literals: bools, none, numbers, strings (shared by all
+    entry scripts via config.parse_model_kw since round 4)."""
+    from semanticsegmentation_tensorflow_tpu.config import parse_model_kw
 
-    assert _parse_kw_value("true") is True
-    assert _parse_kw_value("False") is False
-    assert _parse_kw_value("none") is None
-    assert _parse_kw_value("4096") == 4096
-    assert _parse_kw_value("0.5") == 0.5
-    assert _parse_kw_value("f2") == "f2"
+    got = parse_model_kw(
+        "a=true,b=False,c=none,d=4096,e=0.5,f=f2, g = mixed ")
+    assert got == {"a": True, "b": False, "c": None, "d": 4096,
+                   "e": 0.5, "f": "f2", "g": "mixed"}
+    assert parse_model_kw(None) == {}
+    assert parse_model_kw("") == {}

@@ -85,10 +85,8 @@ def main() -> None:
     args = p.parse_args()
 
     setup_runtime()
-    kw = {}
-    for item in filter(None, args.model_kw.split(",")):
-        k, v = item.split("=")
-        kw[k] = eval(v)  # noqa: S307 — trusted CLI input
+    from semanticsegmentation_tensorflow_tpu.config import parse_model_kw
+    kw = parse_model_kw(args.model_kw)
     model = build_model(args.model, num_classes=2, **kw)
     tx = make_optimizer("adam", 1e-4)
     b, h, w = args.batch, args.height, args.width
