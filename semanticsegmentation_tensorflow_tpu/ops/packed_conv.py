@@ -136,11 +136,16 @@ def _punpool_fwd(pooled, argmax, window):
 def _punpool_bwd(window, argmax, g):
     import numpy as np
 
-    c = g.shape[-1] // 2
+    n, h, w, c2 = g.shape
+    c = c2 // 2
     acc = None
     for dy in range(2):
         for dx in range(2):
-            gs = g[:, dy::2, :, dx * c:(dx + 1) * c]  # pooled-size slice
+            # pooled-size slice via explicit strided lax.slice — jnp's
+            # strided indexing lowers to a gather with materialized index
+            # arrays (see ops/pool._unpool_bwd, round-4 jaxpr audit)
+            gs = lax.slice(g, (0, dy, 0, dx * c), (n, h, w, (dx + 1) * c),
+                           (1, 2, 1, 1))
             sel = jnp.where(argmax == dy * 2 + dx, gs, jnp.zeros_like(gs))
             acc = sel if acc is None else acc + sel
     return (acc, np.zeros(argmax.shape, jax.dtypes.float0))

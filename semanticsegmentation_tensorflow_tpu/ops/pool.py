@@ -147,10 +147,15 @@ def _unpool_bwd(window, argmax, g):
     import numpy as np
 
     k = window
+    n, h, w, c = g.shape
     acc = None
     for dr in range(k):
         for dc in range(k):
-            gs = g[:, dr::k, dc::k, :]
+            # explicit strided lax.slice: jnp's strided basic indexing
+            # lowers to a GATHER with a materialized (H/k, W/k, 2) index
+            # array — 4 per unpool in the SegNet decoder backward, slow on
+            # TPU (round-4 jaxpr audit, tools/roofline_model.py)
+            gs = lax.slice(g, (0, dr, dc, 0), (n, h, w, c), (1, k, k, 1))
             sel = jnp.where(argmax == dr * k + dc, gs, jnp.zeros_like(gs))
             acc = sel if acc is None else acc + sel
     return (acc, np.zeros(argmax.shape, jax.dtypes.float0))
