@@ -179,8 +179,8 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
     return row
 
 
-def _make_fcn8s_predictor(batch: int):
-    """Shared FCN-8s Predictor setup for the inference benchmarks.
+def _make_predictor(batch: int, model_name: str = "fcn8s", **kw):
+    """Shared Predictor setup for the inference benchmarks.
 
     Init is jitted: eager flax init round-trips the tunnel per-op (80-220s
     measured); one compiled program is ~10s.
@@ -188,13 +188,38 @@ def _make_fcn8s_predictor(batch: int):
     import functools
 
     from semanticsegmentation_tensorflow_tpu.infer import Predictor
-    from semanticsegmentation_tensorflow_tpu.models import FCN8s
+    from semanticsegmentation_tensorflow_tpu.models import build_model
 
-    model = FCN8s(num_classes=2)
-    x = jnp.zeros((batch, 384, 1248, 3), jnp.float32)
+    model = build_model(model_name, num_classes=2, **kw)
+    stride = getattr(model, "total_stride", 32)
+    h = -(-375 // stride) * stride
+    w = -(-1242 // stride) * stride
+    x = jnp.zeros((batch, h, w, 3), jnp.float32)
     vs = jax.jit(functools.partial(model.init, train=False))(
         jax.random.key(0), x)
     return Predictor(model, vs, (375, 1242))
+
+
+def _make_fcn8s_predictor(batch: int):
+    return _make_predictor(batch, "fcn8s")
+
+
+def bench_infer_model(model_name: str, batch: int, steps: int) -> dict:
+    """Device-resident label-map inference throughput for one zoo model
+    (--infer-all; the e2e/overlay legs are FCN-only — bench_infer)."""
+    pred = _make_predictor(batch, model_name)
+    img = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, 375, 1242, 3)).astype(np.uint8))
+    out = pred._fwd_labels(img)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = pred._fwd_labels(img)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return {"name": f"{model_name}_infer_b{batch}", "batch": batch,
+            "images_per_sec_device": round(batch * steps / dt, 2),
+            "ms_per_image_device": round(dt / steps / batch * 1000, 2)}
 
 
 def bench_infer(batch: int, steps: int) -> dict:
@@ -310,6 +335,9 @@ def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="fewer steps")
+    p.add_argument("--infer-all", action="store_true",
+                   help="also bench device inference for segnet/unet/"
+                        "deeplab (one extra compile each)")
     args = p.parse_args()
     steps = 5 if args.quick else 12
 
@@ -356,6 +384,11 @@ def main() -> int:
         r = bench_infer(bs, steps)
         print(r)
         results.append(r)
+    if args.infer_all:
+        for name in ("segnet", "unet", "deeplab"):
+            r = bench_infer_model(name, 8, steps)
+            print(r)
+            results.append(r)
 
     import tempfile
     with tempfile.TemporaryDirectory() as td:
