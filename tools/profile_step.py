@@ -80,6 +80,7 @@ def main() -> None:
     p.add_argument("--width", type=int, default=1248)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--nc", type=int, default=2, help="num classes")
     p.add_argument("--model-kw", default="",
                    help="comma k=v model kwargs, e.g. fc_features=4096")
     args = p.parse_args()
@@ -87,18 +88,18 @@ def main() -> None:
     setup_runtime()
     from semanticsegmentation_tensorflow_tpu.config import parse_model_kw
     kw = parse_model_kw(args.model_kw)
-    model = build_model(args.model, num_classes=2, **kw)
+    model = build_model(args.model, num_classes=args.nc, **kw)
     tx = make_optimizer("adam", 1e-4)
     b, h, w = args.batch, args.height, args.width
     state = create_train_state(model, jax.random.key(0), (b, h, w, 3), tx)
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
-    step = make_train_step(num_classes=2, augment_fn=aug)
+    step = make_train_step(num_classes=args.nc, augment_fn=aug)
 
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.integers(0, 256, (b, h, w, 3), np.uint8)),
-        "label": jnp.asarray(rng.integers(0, 2, (b, h, w), np.int32)),
+        "label": jnp.asarray(rng.integers(0, args.nc, (b, h, w), np.int32)),
     }
     # compile + warm
     state, out = step(state, batch)
