@@ -41,7 +41,15 @@ def confusion_matrix(
     p = pred_labels.reshape(-1)
     v = None if valid_mask is None else valid_mask.reshape(-1)
 
-    if impl == "direct" or (impl == "auto" and False):  # auto: pending A/B
+    if impl == "auto":
+        # SEG_CM_IMPL lets the bench harness A/B the two forms without a
+        # code edit (safe: both are integer-exact and equality-tested —
+        # unlike WINOGRAD_ABLATE this cannot corrupt results). The
+        # measured winner for small C becomes the hard-coded auto rule.
+        import os
+
+        impl = os.environ.get("SEG_CM_IMPL", "matmul")
+    if impl == "direct":
         ti = [t == i for i in range(num_classes)]
         if v is not None:
             vb = v.astype(bool)
