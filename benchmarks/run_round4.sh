@@ -46,6 +46,11 @@ run 06_unet_fastup_preset python tools/bench_flags.py --model unet --batch 8 \
 run 07_segnet_dec1 python tools/bench_flags.py --model segnet --batch 8 \
     --ab packed_dec1 --steps 10
 
+# 7b. confusion-matrix impl A/B (runbook item 5): same row, direct cm
+run 07b_segnet_cm_direct env SEG_CM_IMPL=direct \
+    python tools/bench_flags.py --model segnet --batch 8 \
+    --ab packed_dec1 --steps 10
+
 # 8. per-op profiles for the ceiling subsections
 run 08_prof_segnet python tools/profile_step.py --model segnet --batch 8 --top 50
 run 09_prof_unet_fullres python tools/profile_step.py --model unet --batch 8 --top 50
