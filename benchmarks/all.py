@@ -160,7 +160,7 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
         from semanticsegmentation_tensorflow_tpu.train.metrics import (
             iou_from_confusion,
         )
-        miou, _ = iou_from_confusion(jax.device_get(out["cm"]))
+        _, miou = iou_from_confusion(jax.device_get(out["cm"]))
         row["train_miou"] = round(float(miou), 4)
     # roofline context per model (VERDICT r2: a throughput number without a
     # canonical-FLOPs denominator cannot be prioritized or judged). The A/B
@@ -190,10 +190,12 @@ def _make_predictor(batch: int, model_name: str = "fcn8s", **kw):
     from semanticsegmentation_tensorflow_tpu.infer import Predictor
     from semanticsegmentation_tensorflow_tpu.models import build_model
 
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        padded_input_hw,
+    )
+
     model = build_model(model_name, num_classes=2, **kw)
-    stride = getattr(model, "total_stride", 32)
-    h = -(-375 // stride) * stride
-    w = -(-1242 // stride) * stride
+    h, w = padded_input_hw(model, (375, 1242))
     x = jnp.zeros((batch, h, w, 3), jnp.float32)
     vs = jax.jit(functools.partial(model.init, train=False))(
         jax.random.key(0), x)

@@ -60,9 +60,11 @@ def main(argv=None):
     model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
                         **dict(cfg.model_kwargs,
                                **parse_model_kw(args.model_kw)))
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        padded_input_hw,
+    )
     stride = getattr(model, "total_stride", 32)
-    h = -(-dc.image_size[0] // stride) * stride
-    w = -(-dc.image_size[1] // stride) * stride
+    h, w = padded_input_hw(model, dc.image_size)
 
     state = create_abstract_state(model, (args.batch_size, h, w, 3),
                                   make_optimizer("adam", 1e-4))

@@ -52,9 +52,10 @@ def main(argv=None):
     model = build_model(model_name, num_classes=dc.num_classes,
                         **dict(cfg.model_kwargs,
                                **parse_model_kw(args.model_kw)))
-    stride = getattr(model, "total_stride", 32)
-    h = -(-dc.image_size[0] // stride) * stride
-    w = -(-dc.image_size[1] // stride) * stride
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        padded_input_hw,
+    )
+    h, w = padded_input_hw(model, dc.image_size)
 
     tx = make_optimizer("adam", 1e-4)
     ckpt = CheckpointManager(args.checkpoint_dir)

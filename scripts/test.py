@@ -54,9 +54,10 @@ def main(argv=None):
     model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
                         **dict(cfg.model_kwargs,
                                **parse_model_kw(args.model_kw)))
-    stride = getattr(model, "total_stride", 32)
-    h = -(-dc.image_size[0] // stride) * stride
-    w = -(-dc.image_size[1] // stride) * stride
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        padded_input_hw,
+    )
+    h, w = padded_input_hw(model, dc.image_size)
 
     state = create_abstract_state(model, (1, h, w, 3), make_optimizer("adam", 1e-4))
     ckpt = CheckpointManager(args.checkpoint_dir)

@@ -29,6 +29,17 @@ def build_model(name: str, num_classes: int, **kwargs: Any) -> nn.Module:
     return cls(num_classes=num_classes, **kwargs)
 
 
+def padded_input_hw(model: nn.Module,
+                    image_size: tuple[int, int]) -> tuple[int, int]:
+    """(H, W) of ``image_size`` ceil-padded to the model's total stride —
+    the device input shape every inference/eval/bench path feeds (the
+    shared idiom of scripts/{test,eval,infer_image}.py and
+    benchmarks/all.py)."""
+    stride = getattr(model, "total_stride", 32)
+    h, w = image_size
+    return -(-h // stride) * stride, -(-w // stride) * stride
+
+
 def spmd_safe_kwargs(name: str) -> dict[str, Any]:
     """Model kwargs required under a COMPILER-PARTITIONED (2-D spatial)
     mesh. The fused Pallas stage1 is SPMD-compatible since round 3 via

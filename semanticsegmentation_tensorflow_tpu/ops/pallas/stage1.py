@@ -288,6 +288,9 @@ def _bwd_kernel(gtop, gcen, gbot, otop, ocen, obot, ctop, ccen, cbot,
         dm[...] = jnp.zeros_like(dm)
         ds[...] = jnp.zeros_like(ds)
         db2[...] = jnp.zeros_like(db2)
+        # db1 is zero-initialized UNCONDITIONALLY so the fold_b1=False mode
+        # (which skips the accumulation below) still returns defined zeros,
+        # never uninitialized VMEM — _fused_bwd ignores it in that mode
         db1[...] = jnp.zeros_like(db1)
 
     dt = zcen.dtype

@@ -49,6 +49,11 @@ def confusion_matrix(
         import os
 
         impl = os.environ.get("SEG_CM_IMPL", "matmul")
+        if impl != "matmul":
+            import sys
+
+            print(f"confusion_matrix: SEG_CM_IMPL={impl!r} override active",
+                  file=sys.stderr)
     if impl == "direct":
         ti = [t == i for i in range(num_classes)]
         if v is not None:

@@ -45,6 +45,10 @@ def main() -> None:
     base = json.loads(args.base)
     if "=" in args.ab:
         # explicit value sweep: one flag, each listed value is a combo
+        if "," in args.ab:
+            raise SystemExit("--ab: a value sweep (name=v1|v2) cannot be "
+                             "combined with a comma flag list; put fixed "
+                             "flags in --base instead")
         name, _, vals = args.ab.partition("=")
         combos = [{name: json.loads(v)} for v in vals.split("|")]
     else:

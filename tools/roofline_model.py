@@ -82,16 +82,16 @@ def _bytes_of(avals) -> float:
 
 
 def _conv_macs(eqn) -> float:
-    lhs, rhs = (v.aval for v in eqn.invars[:2])
+    rhs = eqn.invars[1].aval
     out = eqn.outvars[0].aval
     dn = eqn.params["dimension_numbers"]
-    groups = eqn.params.get("feature_group_count", 1) or 1
+    # the rhs input-feature dim is ALREADY Cin/groups for grouped convs —
+    # no further division by feature_group_count
     cin = rhs.shape[dn.rhs_spec[1]]
     spatial = 1.0
     for d in dn.rhs_spec[2:]:
         spatial *= rhs.shape[d]
-    return float(np.prod(out.shape, dtype=np.float64)) * cin * spatial \
-        / max(groups, 1) * (1.0 if groups else 1.0)
+    return float(np.prod(out.shape, dtype=np.float64)) * cin * spatial
 
 
 def _dot_macs(eqn) -> float:
