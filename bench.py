@@ -72,38 +72,14 @@ def _step_sources_hash() -> str:
 
 
 def _check_tpu_tunnel() -> None:
-    """Fail BOUNDED-fast if this environment's TPU relay is dead: the axon
-    client retries a refused connection forever, which turns a missing
-    tunnel into an infinite hang instead of an error. A single instant
-    probe, however, turns a transient relay restart into a zeroed capture
-    (exactly what happened to BENCH_r03) — so poll with backoff for up to
-    ~5 minutes (BENCH_TUNNEL_WAIT_S overrides) before giving up with
-    exit 3. Only probes when the loopback-relay env marker is present
-    (this dev environment), so other TPU setups are untouched."""
-    import os
-    import socket
+    """Bounded-retry dead-relay guard — shared implementation in
+    utils/runtime.py (every CLI entry point gets it via setup_runtime;
+    this alias keeps the historical import path for benchmarks/all.py)."""
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import (
+        check_tpu_tunnel,
+    )
 
-    if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
-        return
-    window = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "300"))
-    deadline = time.monotonic() + window
-    delay, last_err = 2.0, None
-    while True:
-        try:
-            with socket.create_connection(("127.0.0.1", 8082), timeout=5):
-                return
-        except OSError as e:
-            last_err = e
-        remaining = deadline - time.monotonic()
-        if remaining <= 0:
-            print(f"TPU tunnel unreachable for {window:.0f}s "
-                  f"(127.0.0.1:8082: {last_err}); refusing to hang in "
-                  "backend init", file=sys.stderr)
-            raise SystemExit(3)
-        print(f"TPU tunnel down (127.0.0.1:8082: {last_err}); retrying for "
-              f"another {remaining:.0f}s", file=sys.stderr)
-        time.sleep(min(delay, remaining))
-        delay = min(delay * 1.6, 30.0)
+    check_tpu_tunnel()
 
 
 def main() -> None:
