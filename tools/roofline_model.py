@@ -222,6 +222,7 @@ def main():
     from semanticsegmentation_tensorflow_tpu.train.state import make_optimizer
 
     cases = [
+        # canonical (unpacked) configs — the MFU-denominator workloads
         ("fcn8s b16 384x1248 fc4096 (canonical)", "fcn8s", 16, 384, 1248, 2,
          dict(fc_features=4096, packed_stage1=False)),
         ("segnet b8 384x1248 (canonical)", "segnet", 8, 384, 1248, 2,
@@ -233,6 +234,17 @@ def main():
         ("deeplab os8 b8 384x1248", "deeplab", 8, 384, 1248, 2, {}),
         ("deeplab os16 b8 384x1248", "deeplab", 8, 384, 1248, 2,
          dict(output_stride=16)),
+        # production (packed-default) configs — what the benches measure;
+        # packed stages appear with their real 2x FLOPs at full lanes, so
+        # these floors are what the measured step should be compared to.
+        # (The Pallas fused stage1 is opaque to a jaxpr walk — the packed
+        # jnp formulation is the close stand-in.)
+        ("fcn8s b16 fc4096 (production packed)", "fcn8s", 16, 384, 1248, 2,
+         dict(fc_features=4096, packed_stage1=True)),
+        ("segnet b8 (production packed)", "segnet", 8, 384, 1248, 2,
+         dict(packed_stage1=True, packed_dec1=True)),
+        ("unet b8 256x512 nc19 preset (production packed)", "unet",
+         8, 256, 512, 19, dict(packed_stage0=True)),
     ]
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
