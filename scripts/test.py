@@ -33,6 +33,11 @@ def main(argv=None):
     p.add_argument("--model-kw", default=None,
                    help="comma-separated model kwargs (k=v) — must match "
                         "the flags the checkpoint was trained with")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard each inference batch over all devices "
+                        "(1-D data mesh; params replicated) — multi-chip "
+                        "batch-parallel serving. Pair with --batch >= the "
+                        "device count.")
     args = p.parse_args(argv)
 
     import jax
@@ -66,9 +71,19 @@ def main(argv=None):
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 
+    mesh = None
+    if args.mesh and len(jax.devices()) > 1:
+        from semanticsegmentation_tensorflow_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"mesh inference over {mesh.size} devices")
+        if args.batch % mesh.size:
+            args.batch = -(-args.batch // mesh.size) * mesh.size
+            print(f"note: --batch rounded up to {args.batch} "
+                  "(must be a mesh multiple)")
     ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)
     predictor = Predictor(model, variables, dc.image_size, mean=dc.mean,
-                          std=dc.std)
+                          std=dc.std, mesh=mesh)
     t0, n = time.perf_counter(), 0
     for src, dst in save_inference_samples(predictor, ds.test_images,
                                            args.runs_dir,

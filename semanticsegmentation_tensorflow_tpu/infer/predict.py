@@ -27,7 +27,16 @@ from semanticsegmentation_tensorflow_tpu.ops.shape import pad_to_multiple, crop_
 
 
 class Predictor:
-    """Jitted forward + overlay for a fixed image size."""
+    """Jitted forward + overlay for a fixed image size.
+
+    ``mesh``: optional 1-axis ``data`` mesh for MULTI-CHIP batch-parallel
+    inference — params replicated, the batch sharded over ICI, outputs
+    sharded the same way (the serving analog of the shard_map train step;
+    the reference's inference is single-image CPU, SURVEY.md §3.2, so this
+    is a capability extension, not parity). The caller's batch must be a
+    multiple of the mesh size (``__call__`` pads a ragged batch itself).
+    The Pallas overlay kernel has no partitioning rule, so mesh mode uses
+    the XLA overlay (elementwise — partitions trivially, bit-equal)."""
 
     def __init__(self, model: nn.Module, variables: dict,
                  image_size: tuple[int, int],
@@ -35,13 +44,16 @@ class Predictor:
                  std: Sequence[float] = (58.393, 57.12, 57.375),
                  overlay_palette: np.ndarray = KITTI_OVERLAY_PALETTE,
                  alpha: float = 0.5,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 mesh=None):
         self.image_size = image_size
+        self._mesh = mesh
         stride = getattr(model, "total_stride", 32)
         palette = jnp.asarray(overlay_palette)
         mean = tuple(mean); std = tuple(std)
         if use_pallas is None:  # auto: the kernel targets TPU
-            use_pallas = jax.devices()[0].platform == "tpu"
+            use_pallas = (jax.devices()[0].platform == "tpu"
+                          and mesh is None)
         if use_pallas:
             from semanticsegmentation_tensorflow_tpu.ops.pallas.overlay import (
                 argmax_colormap_overlay_pallas,
@@ -75,9 +87,24 @@ class Predictor:
         # into the executable (353MB serialized, minutes of extra XLA
         # constant-handling at compile — measured) and defeated the
         # persistent compile cache
-        self._variables = jax.device_put(variables)
-        self._jfwd = jax.jit(fwd)
-        self._jfwd_labels = jax.jit(fwd_labels)
+        if mesh is None:
+            self._variables = jax.device_put(variables)
+            self._jfwd = jax.jit(fwd)
+            self._jfwd_labels = jax.jit(fwd_labels)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
+                DATA_AXIS,
+            )
+            repl = NamedSharding(mesh, P())
+            bspec = NamedSharding(mesh, P(DATA_AXIS))
+            self._variables = jax.device_put(variables, repl)
+            self._jfwd = jax.jit(fwd, in_shardings=(repl, bspec),
+                                 out_shardings=(bspec, bspec))
+            self._jfwd_labels = jax.jit(fwd_labels,
+                                        in_shardings=(repl, bspec),
+                                        out_shardings=bspec)
         self._palette = np.asarray(overlay_palette)
         self._alpha = alpha
 
@@ -92,8 +119,18 @@ class Predictor:
         squeeze = image_u8.ndim == 3
         if squeeze:
             image_u8 = image_u8[None]
+        n_real = image_u8.shape[0]
+        if self._mesh is not None:
+            # pad a ragged batch to the mesh size (repetition — the pad
+            # rows are discarded below; same trick as the sweep producer)
+            m = self._mesh.size
+            pad = (-n_real) % m
+            if pad:
+                image_u8 = np.concatenate(
+                    [image_u8, np.repeat(image_u8[-1:], pad, axis=0)])
         overlay, labels = self._fwd(jnp.asarray(image_u8))
-        overlay, labels = np.asarray(overlay), np.asarray(labels)
+        overlay = np.asarray(overlay)[:n_real]
+        labels = np.asarray(labels)[:n_real]
         return (overlay[0], labels[0]) if squeeze else (overlay, labels)
 
     def predict_file(self, path: str) -> tuple[np.ndarray, np.ndarray]:

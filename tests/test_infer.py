@@ -117,3 +117,31 @@ def test_fastpng_roundtrip():
     arr = batch[1, :, :, :3]
     back = np.asarray(Image.open(io.BytesIO(encode_png(arr))).convert("RGB"))
     np.testing.assert_array_equal(back, arr)
+
+
+def test_mesh_predictor_matches_single_device():
+    """Multi-chip batch-parallel inference (Predictor(mesh=...)): outputs
+    bit-equal to the single-device Predictor, including a ragged batch
+    that the mesh path pads internally (round 4 — serving analog of the
+    shard_map train step)."""
+    from semanticsegmentation_tensorflow_tpu.models import UNet
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh
+
+    image_size = (30, 46)
+    model = UNet(num_classes=2, base_features=8)
+    h = -(-image_size[0] // 16) * 16
+    w = -(-image_size[1] // 16) * 16
+    vs = model.init(jax.random.key(0),
+                    np.zeros((1, h, w, 3), np.float32), train=False)
+    single = Predictor(model, vs, image_size)
+    mesh = make_mesh()
+    sharded = Predictor(model, vs, image_size, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    for n in (8, 5, 1):          # full, ragged, single (pad to mesh size)
+        imgs = rng.integers(0, 256, (n, *image_size, 3)).astype(np.uint8)
+        ov_a, lb_a = single(imgs)
+        ov_b, lb_b = sharded(imgs)
+        assert ov_b.shape == (n, *image_size, 3)
+        np.testing.assert_array_equal(lb_a, lb_b)
+        np.testing.assert_array_equal(ov_a, ov_b)
