@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--model-kw", default=None,
                    help="comma-separated model kwargs (k=v) — must match "
                         "the flags the checkpoint was trained with")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard eval batches over all devices (1-D data "
+                        "mesh, psum'd confusion matrix) — metrics exact "
+                        "incl. the wrap-padded final batch (valid=0 rows)")
     args = p.parse_args(argv)
 
     from semanticsegmentation_tensorflow_tpu.config import (
@@ -76,12 +80,25 @@ def main(argv=None):
     ds = build_dataset(dc.dataset, args.data_dir or dc.data_dir,
                        dc.image_size, split=split)
     print(f"evaluating split={split!r} ({len(ds.train_images)} images)")
+    mesh = None
+    if args.mesh and len(jax.devices()) > 1:
+        from semanticsegmentation_tensorflow_tpu.parallel import (
+            make_mesh, replicate,
+        )
+
+        mesh = make_mesh()
+        if args.batch_size % mesh.size:
+            args.batch_size = -(-args.batch_size // mesh.size) * mesh.size
+            print(f"note: --batch-size rounded up to {args.batch_size} "
+                  "(must be a mesh multiple)")
+        state = replicate(state, mesh)
+        print(f"mesh eval over {mesh.size} devices")
     loader = BatchLoader(ds, args.batch_size, pad_multiple=stride,
-                         drop_remainder=False)
+                         drop_remainder=False, mesh=mesh)
     # eval is deterministic: plain normalize, no RNG, no augment interface
     normalize = jax.jit(lambda b: dict(
         b, image=normalize_images(b["image"], dc.mean, dc.std)))
-    eval_step = make_eval_step(dc.num_classes)
+    eval_step = make_eval_step(dc.num_classes, mesh=mesh)
 
     metrics = SegMetrics.zero(dc.num_classes)
     for batch in loader.epoch():
