@@ -182,3 +182,54 @@ def test_checkpoint_abstract_threefry_template_without_metadata(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.random.key_data(restored.rng)),
         np.asarray(jax.random.key_data(st.rng)))
+
+
+def test_mesh_loop_checkpoint_resume(tmp_path):
+    """Distributed checkpoint/resume (round 4): train under the 1-D data
+    mesh, checkpoint the replicated state, restore into a FRESH replicated
+    state, continue under the mesh — params equal an uninterrupted mesh
+    run bit-for-bit (the state is replicated, so orbax saves/restores one
+    logical copy; sharding comes back from the restore template)."""
+    from semanticsegmentation_tensorflow_tpu.parallel import (
+        make_mesh, replicate, shard_batch,
+    )
+
+    d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=8, n_test=0,
+                                 h=32, w=32)
+    ds = KittiRoadDataset(d, image_size=(32, 32))
+    mesh = make_mesh()
+    model = build_model("unet", num_classes=2, base_features=8)
+    tx = make_optimizer("sgd", 1e-3)
+    step = make_train_step(num_classes=2, mesh=mesh)
+
+    def loader():
+        return BatchLoader(ds, batch_size=8, pad_multiple=16, seed=7,
+                           mesh=mesh)
+
+    # uninterrupted: 2 epochs (2 steps)
+    sa = create_train_state(model, jax.random.key(0), (8, 32, 32, 3), tx)
+    sa = replicate(sa, mesh)
+    sa, _ = train(sa, step, loader().epoch, epochs=2, num_classes=2,
+                  log_every=0)
+
+    # interrupted: 1 epoch -> checkpoint -> fresh restore -> 1 epoch
+    sb = create_train_state(model, jax.random.key(0), (8, 32, 32, 3), tx)
+    sb = replicate(sb, mesh)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    sb, _ = train(sb, step, loader().epoch, epochs=1, num_classes=2,
+                  log_every=0, ckpt=ckpt)
+    fresh = create_train_state(model, jax.random.key(5), (8, 32, 32, 3), tx)
+    fresh = replicate(fresh, mesh)
+    fresh = ckpt.restore(fresh)
+    assert int(jax.device_get(fresh.step)) == 1
+    # the loader is rebuilt with the same seed, so epoch 2's batches match
+    # the uninterrupted run's second epoch only if each epoch reshuffles
+    # identically from the constructor seed — rebuild, then skip epoch 1
+    lo = loader()
+    next(iter(lo.epoch()))  # consume epoch-1's single batch
+    fresh, _ = train(fresh, step, lo.epoch, epochs=1, num_classes=2,
+                     log_every=0, ckpt=ckpt)
+    assert int(jax.device_get(fresh.step)) == 2
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(fresh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
