@@ -54,6 +54,11 @@ run 2700 07b_segnet_cm_direct env SEG_CM_IMPL=direct \
     python tools/bench_flags.py --model segnet --batch 8 \
     --ab packed_dec1 --steps 10
 
+# 7c. DeepLab batch scaling probe (r3: os8 went 27->73 img/s from b4->b8;
+# os16 at b8 runs a 4x smaller grid — check whether b16 keeps scaling)
+run 2700 07c_deeplab16_b16 python tools/bench_flags.py --model deeplab \
+    --batch 16 --ab 'output_stride=16' --steps 10
+
 # 8. per-op profiles for the ceiling subsections
 run 2400 08_prof_segnet python tools/profile_step.py --model segnet --batch 8 --top 50
 run 2400 09_prof_unet_fullres python tools/profile_step.py --model unet --batch 8 --top 50
