@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Minimal inference server: HTTP image in -> overlay PNG (or label map) out.
+
+The reference has no serving story (its inference is a script loop,
+SURVEY.md §3.2-3.3); this wraps the same jitted Predictor pipeline
+(normalize -> pad -> forward -> crop -> argmax -> colormap, one XLA
+program, uint8 in/out) behind a stdlib HTTP server for production-style
+use. Single-threaded handler by design: the TPU serializes work anyway,
+and the jitted program has a fixed batch shape.
+
+    python scripts/serve.py --preset fcn8s_kitti --checkpoint-dir ckpts \
+        --port 8500
+
+    curl -s -X POST --data-binary @image.png localhost:8500/segment > out.png
+    curl -s -X POST --data-binary @image.png localhost:8500/labels > labels.png
+    curl -s localhost:8500/healthz
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import io
+import json
+import time
+
+
+def build_predictor(args):
+    from semanticsegmentation_tensorflow_tpu.config import (
+        get_preset, parse_model_kw,
+    )
+    from semanticsegmentation_tensorflow_tpu.infer import Predictor
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        padded_input_hw,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+    from semanticsegmentation_tensorflow_tpu.train.state import (
+        create_abstract_state, make_optimizer,
+    )
+
+    import jax
+
+    cfg = get_preset(args.preset)
+    dc = cfg.data
+    model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
+                        **dict(cfg.model_kwargs,
+                               **parse_model_kw(args.model_kw)))
+    h, w = padded_input_hw(model, dc.image_size)
+    state = create_abstract_state(model, (1, h, w, 3),
+                                  make_optimizer("adam", 1e-4))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore(state)
+    ckpt.close()
+    variables = {"params": state.params}
+    if jax.tree.leaves(state.batch_stats):
+        variables["batch_stats"] = state.batch_stats
+    return Predictor(model, variables, dc.image_size, mean=dc.mean,
+                     std=dc.std, alpha=args.alpha)
+
+
+def make_handler(predictor, stats):
+    from http.server import BaseHTTPRequestHandler
+
+    import numpy as np
+    from PIL import Image
+
+    from semanticsegmentation_tensorflow_tpu.utils.fastpng import encode_png
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *a):  # quiet; stats carry the signal
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                payload = dict(stats, status="ok")
+                self._send(200, json.dumps(payload).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path not in ("/segment", "/labels"):
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            if not n:
+                self._send(400, b"empty body", "text/plain")
+                return
+            raw = self.rfile.read(n)
+            try:
+                img = Image.open(io.BytesIO(raw)).convert("RGB")
+            except Exception as e:  # noqa: BLE001 — client error
+                self._send(400, f"bad image: {e}".encode(), "text/plain")
+                return
+            # the pipeline is compiled for the preset size; resize like the
+            # reference's loader does (SURVEY.md §3.5)
+            hs, ws = predictor.image_size
+            if img.size != (ws, hs):
+                img = img.resize((ws, hs), Image.BILINEAR)
+            t0 = time.perf_counter()
+            overlay, labels = predictor(np.asarray(img, np.uint8))
+            dt = time.perf_counter() - t0
+            stats["requests"] += 1
+            stats["last_ms"] = round(dt * 1e3, 2)
+            if self.path == "/segment":
+                self._send(200, encode_png(overlay), "image/png")
+            else:
+                lab3 = np.repeat(labels.astype(np.uint8)[..., None], 3, -1)
+                self._send(200, encode_png(lab3), "image/png")
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fcn8s_kitti")
+    p.add_argument("--model", default=None)
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--model-kw", default=None)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--warmup", action="store_true", default=True,
+                   help="compile the pipeline before accepting requests")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from http.server import HTTPServer
+
+    predictor = build_predictor(args)
+    if args.warmup:  # pay the XLA compile before the first request
+        hs, ws = predictor.image_size
+        predictor(np.zeros((hs, ws, 3), np.uint8))
+    stats = {"requests": 0, "last_ms": None}
+    server = HTTPServer((args.host, args.port),
+                        make_handler(predictor, stats))
+    print(f"serving {args.preset} on http://{args.host}:{args.port} "
+          "(POST /segment | /labels, GET /healthz)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
