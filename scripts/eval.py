@@ -83,12 +83,12 @@ def main(argv=None):
     mesh = None
     if args.mesh and len(jax.devices()) > 1:
         from semanticsegmentation_tensorflow_tpu.parallel import (
-            make_mesh, replicate,
+            make_mesh, replicate, round_up_to_mesh,
         )
 
         mesh = make_mesh()
         if args.batch_size % mesh.size:
-            args.batch_size = -(-args.batch_size // mesh.size) * mesh.size
+            args.batch_size = round_up_to_mesh(args.batch_size, mesh)
             print(f"note: --batch-size rounded up to {args.batch_size} "
                   "(must be a mesh multiple)")
         state = replicate(state, mesh)

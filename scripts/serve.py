@@ -75,6 +75,8 @@ def make_handler(predictor, stats):
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # an idle keep-alive client must not hold a worker forever
+        timeout = 60
 
         def log_message(self, fmt, *a):  # quiet; stats carry the signal
             pass
@@ -95,10 +97,12 @@ def make_handler(predictor, stats):
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
             if self.path not in ("/segment", "/labels"):
+                if n:  # drain, or the keep-alive connection desyncs
+                    self.rfile.read(n)
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
             if not n:
                 self._send(400, b"empty body", "text/plain")
                 return
@@ -139,20 +143,24 @@ def main(argv=None) -> int:
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
-    p.add_argument("--warmup", action="store_true", default=True,
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="compile the pipeline before accepting requests")
     args = p.parse_args(argv)
 
     import numpy as np
-    from http.server import HTTPServer
+    from http.server import ThreadingHTTPServer
 
     predictor = build_predictor(args)
     if args.warmup:  # pay the XLA compile before the first request
         hs, ws = predictor.image_size
         predictor(np.zeros((hs, ws, 3), np.uint8))
     stats = {"requests": 0, "last_ms": None}
-    server = HTTPServer((args.host, args.port),
-                        make_handler(predictor, stats))
+    # threading: concurrent requests serialize on the device anyway (jax
+    # dispatch is thread-safe), but one idle keep-alive client must never
+    # starve /healthz and other clients
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(predictor, stats))
     print(f"serving {args.preset} on http://{args.host}:{args.port} "
           "(POST /segment | /labels, GET /healthz)", flush=True)
     try:

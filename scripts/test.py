@@ -73,12 +73,14 @@ def main(argv=None):
 
     mesh = None
     if args.mesh and len(jax.devices()) > 1:
-        from semanticsegmentation_tensorflow_tpu.parallel import make_mesh
+        from semanticsegmentation_tensorflow_tpu.parallel import (
+            make_mesh, round_up_to_mesh,
+        )
 
         mesh = make_mesh()
         print(f"mesh inference over {mesh.size} devices")
         if args.batch % mesh.size:
-            args.batch = -(-args.batch // mesh.size) * mesh.size
+            args.batch = round_up_to_mesh(args.batch, mesh)
             print(f"note: --batch rounded up to {args.batch} "
                   "(must be a mesh multiple)")
     ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)

@@ -54,6 +54,11 @@ class Predictor:
         if use_pallas is None:  # auto: the kernel targets TPU
             use_pallas = (jax.devices()[0].platform == "tpu"
                           and mesh is None)
+        if use_pallas and mesh is not None:
+            raise ValueError(
+                "use_pallas=True is incompatible with mesh inference: the "
+                "Pallas overlay kernel has no SPMD partitioning rule — "
+                "leave use_pallas unset (the XLA overlay is bit-equal)")
         if use_pallas:
             from semanticsegmentation_tensorflow_tpu.ops.pallas.overlay import (
                 argmax_colormap_overlay_pallas,
@@ -190,7 +195,20 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
                     imgs = np.concatenate(
                         [imgs,
                          np.repeat(imgs[-1:], batch_size - n_real, axis=0)])
-                q.put(([p for p, _ in batch], imgs, jax.device_put(imgs)))
+                if predictor._mesh is not None:
+                    # upload shards DIRECTLY to their devices; a plain
+                    # device_put would land on device 0 and the sharded jit
+                    # would redistribute every batch over ICI
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
+                        DATA_AXIS,
+                    )
+                    dev = jax.device_put(imgs, NamedSharding(
+                        predictor._mesh, PartitionSpec(DATA_AXIS)))
+                else:
+                    dev = jax.device_put(imgs)
+                q.put(([p for p, _ in batch], imgs, dev))
                 batch.clear()
 
             for p in image_paths:

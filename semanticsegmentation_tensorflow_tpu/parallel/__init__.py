@@ -12,6 +12,7 @@ from semanticsegmentation_tensorflow_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
     batch_spec,
+    round_up_to_mesh,
     DATA_AXIS,
     SPATIAL_AXIS,
 )

@@ -39,6 +39,13 @@ def make_mesh_2d(data: int, spatial: int,
                 (DATA_AXIS, SPATIAL_AXIS))
 
 
+def round_up_to_mesh(n: int, mesh: Mesh) -> int:
+    """Smallest multiple of ``mesh.size`` >= n — the batch-size rounding
+    rule every mesh CLI applies (scripts/test.py --mesh, scripts/eval.py
+    --mesh; sharded leading dims must divide evenly)."""
+    return -(-n // mesh.size) * mesh.size
+
+
 def batch_spec(mesh: Mesh) -> P:
     """PartitionSpec for [N, H, ...] batch leaves under the given mesh."""
     if SPATIAL_AXIS in mesh.axis_names:

@@ -23,6 +23,8 @@ def check_tpu_tunnel(window_s: float | None = None) -> None:
 
     if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
         return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return  # CPU-forced run needs no relay (setup_runtime honors it)
     if window_s is None:
         window_s = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "300"))
     deadline = time.monotonic() + window_s
