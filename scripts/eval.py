@@ -22,9 +22,6 @@ import jax
 
 
 def main(argv=None):
-    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
-    setup_runtime()
-
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
@@ -43,6 +40,10 @@ def main(argv=None):
                         "mesh, psum'd confusion matrix) — metrics exact "
                         "incl. the wrap-padded final batch (valid=0 rows)")
     args = p.parse_args(argv)
+
+    # after argparse so --help / usage errors never wait on the TPU tunnel
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
 
     from semanticsegmentation_tensorflow_tpu.config import (
         get_preset, parse_model_kw,

@@ -20,9 +20,6 @@ import numpy as np
 
 
 def main(argv=None):
-    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
-    setup_runtime()
-
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
@@ -34,6 +31,10 @@ def main(argv=None):
                    help="comma-separated model kwargs (k=v) — must match "
                         "the flags the checkpoint was trained with")
     args = p.parse_args(argv)
+
+    # after argparse so --help / usage errors never wait on the TPU tunnel
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
 
     from PIL import Image
 

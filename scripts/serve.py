@@ -132,9 +132,6 @@ def make_handler(predictor, stats):
 
 
 def main(argv=None) -> int:
-    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
-    setup_runtime()
-
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
@@ -147,6 +144,10 @@ def main(argv=None) -> int:
                    default=True,
                    help="compile the pipeline before accepting requests")
     args = p.parse_args(argv)
+
+    # after argparse so --help / usage errors never wait on the TPU tunnel
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
 
     import numpy as np
     from http.server import ThreadingHTTPServer

@@ -18,9 +18,6 @@ import time
 
 
 def main(argv=None):
-    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
-    setup_runtime()
-
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
@@ -39,6 +36,10 @@ def main(argv=None):
                         "batch-parallel serving. Pair with --batch >= the "
                         "device count.")
     args = p.parse_args(argv)
+
+    # after argparse so --help / usage errors never wait on the TPU tunnel
+    from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
+    setup_runtime()
 
     import jax
 

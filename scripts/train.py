@@ -62,10 +62,11 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    args = parse_args(argv)
+
+    # after argparse so --help / usage errors never wait on the TPU tunnel
     from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
     setup_runtime()
-
-    args = parse_args(argv)
 
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.data import (

@@ -8,6 +8,14 @@ Directory layout (the reference's expectation, SURVEY.md §3.5):
 Images are decoded on host (PIL), resized to a fixed (H, W) with bilinear /
 nearest (image / label) interpolation, and label-encoded to int class ids +
 valid mask. Everything downstream is device-side.
+
+Native fast paths (native/segio.cpp, round 4): GT nearest-resize goes
+through the native kernel when it builds — bit-equal to PIL NEAREST
+(tests/test_native.py), ~3x faster, zero numerical effect. The image
+bilinear resize is PIL's area-averaging triangle filter by default (the
+reference-parity path); ``SEG_NATIVE_RESIZE=1`` switches it to the native
+half-pixel 2-tap bilinear (~3x faster, different — sharper — pixels).
+``SEG_NATIVE=0`` disables every native path.
 """
 
 from __future__ import annotations
@@ -20,9 +28,14 @@ from glob import glob
 import numpy as np
 from PIL import Image
 
+from semanticsegmentation_tensorflow_tpu import native
 from semanticsegmentation_tensorflow_tpu.data.palette import (
     KITTI_ROAD_PALETTE, encode_labels,
 )
+
+def _native_resize_opted_in() -> bool:
+    return (os.environ.get("SEG_NATIVE_RESIZE", "").strip().lower()
+            in ("1", "true", "on"))
 
 
 def _gt_path_for(image_path: str) -> str:
@@ -35,6 +48,12 @@ def _gt_path_for(image_path: str) -> str:
 
 def load_image(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     """Decode to RGB uint8 [H, W, 3], optionally bilinear-resized to (H, W)."""
+    if _native_resize_opted_in() and native.available():
+        with open(path, "rb") as f:
+            arr = native.decode_png(f.read())
+        if size is not None and arr.shape[:2] != size:
+            arr = native.resize_bilinear(arr, size[0], size[1])
+        return arr
     img = Image.open(path).convert("RGB")
     if size is not None and (img.height, img.width) != size:
         img = img.resize((size[1], size[0]), Image.BILINEAR)
@@ -46,9 +65,14 @@ def load_gt(path: str, size: tuple[int, int] | None = None,
             ) -> tuple[np.ndarray, np.ndarray]:
     """Decode + nearest-resize GT, return (ids [H,W] i32, valid [H,W] bool)."""
     img = Image.open(path).convert("RGB")
-    if size is not None and (img.height, img.width) != size:
-        img = img.resize((size[1], size[0]), Image.NEAREST)
-    return encode_labels(np.asarray(img, dtype=np.uint8), palette)
+    arr = np.asarray(img, dtype=np.uint8)
+    if size is not None and arr.shape[:2] != size:
+        if native.available():  # bit-equal to PIL NEAREST, ~3x faster
+            arr = native.resize_nearest(arr, size[0], size[1])
+        else:
+            arr = np.asarray(
+                img.resize((size[1], size[0]), Image.NEAREST), dtype=np.uint8)
+    return encode_labels(arr, palette)
 
 
 @dataclasses.dataclass

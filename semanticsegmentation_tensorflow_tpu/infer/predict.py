@@ -165,9 +165,11 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
         ~11/17 MB/s up/down);
       * overlay compositing (ops.overlay.host_overlay, same blend math as
         the device op), PNG encode via the vectorized sub-filter encoder
-        (utils/fastpng.py, ~7x PIL — encode was 97% of the round-1 sweep),
-        and the file write all run on a small writer pool. zlib releases
-        the GIL, so writers overlap the device fetch.
+        (utils/fastpng.py, ~7x PIL — encode was 97% of the round-1 sweep;
+        round 4 adds the native fixed-Huffman encoder under it, another
+        ~9x), and the file write all run on a small writer pool. Both
+        zlib and the native ctypes call release the GIL, so writers
+        overlap the device fetch.
 
     Results are yielded in input order once their file is on disk; writer
     errors surface on the yield of the failed file.

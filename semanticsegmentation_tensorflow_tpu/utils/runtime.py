@@ -58,7 +58,15 @@ def setup_runtime(cache_dir: str | None = None) -> None:
     in-process (tests/conftest.py pattern, __graft_entry__ pattern) — and
     otherwise guard against a dead TPU relay, so no CLI entry point can
     hang forever in backend init."""
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    try:
+        configured = (jax.config.jax_platforms or "").strip().lower()
+    except Exception:
+        configured = ""
+    if (os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+            or configured == "cpu"):
+        # either the env var (driver dryrun) or an in-process
+        # jax.config.update("jax_platforms", "cpu") (tests/conftest.py) —
+        # both mean: no TPU backend will be touched, skip the relay probe
         jax.config.update("jax_platforms", "cpu")
     else:
         check_tpu_tunnel()
