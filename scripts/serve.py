@@ -71,6 +71,7 @@ def make_handler(predictor, stats):
     import numpy as np
     from PIL import Image
 
+    from semanticsegmentation_tensorflow_tpu.ops.overlay import host_overlay
     from semanticsegmentation_tensorflow_tpu.utils.fastpng import encode_png
 
     class Handler(BaseHTTPRequestHandler):
@@ -118,11 +119,17 @@ def make_handler(predictor, stats):
             if img.size != (ws, hs):
                 img = img.resize((ws, hs), Image.BILINEAR)
             t0 = time.perf_counter()
-            overlay, labels = predictor(np.asarray(img, np.uint8))
+            # fetch only the packed label map (96x less wire traffic than
+            # the rendered overlay) and composite on host — the LUT blend
+            # (ops/overlay.host_overlay) is bit-equal to the device blend
+            img_np = np.asarray(img, np.uint8)
+            labels = predictor._fetch_labels(img_np[None])[0]
             dt = time.perf_counter() - t0
             stats["requests"] += 1
             stats["last_ms"] = round(dt * 1e3, 2)
             if self.path == "/segment":
+                overlay = host_overlay(img_np, labels, predictor._palette,
+                                       predictor._alpha)
                 self._send(200, encode_png(overlay), "image/png")
             else:
                 lab3 = np.repeat(labels.astype(np.uint8)[..., None], 3, -1)
@@ -155,7 +162,8 @@ def main(argv=None) -> int:
     predictor = build_predictor(args)
     if args.warmup:  # pay the XLA compile before the first request
         hs, ws = predictor.image_size
-        predictor(np.zeros((hs, ws, 3), np.uint8))
+        # the serving path is the packed-label fetch (see the handler)
+        predictor._fetch_labels(np.zeros((1, hs, ws, 3), np.uint8))
     stats = {"requests": 0, "last_ms": None}
     # threading: concurrent requests serialize on the device anyway (jax
     # dispatch is thread-safe), but one idle keep-alive client must never

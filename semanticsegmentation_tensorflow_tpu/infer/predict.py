@@ -87,6 +87,21 @@ class Predictor:
             label_dt = jnp.uint8 if logits.shape[-1] <= 256 else jnp.int32
             return jnp.argmax(logits, axis=-1).astype(label_dt)
 
+        # wire format for the sweep's label fetch: tiny class spaces pack on
+        # device (1 bit/px for binary road labels, a nibble for nc<=16) —
+        # 8x/2x less device->host traffic on the e2e-dominant fetch leg
+        # (ops/labelpack.py). nc comes from an abstract trace (free).
+        from semanticsegmentation_tensorflow_tpu.ops import labelpack
+
+        nc = jax.eval_shape(
+            logits_fn, variables,
+            jax.ShapeDtypeStruct((1, *image_size, 3), jnp.uint8)).shape[-1]
+        self._pack_mode = labelpack.pack_mode(nc) if nc <= 256 else "none"
+
+        def fwd_labels_packed(variables, image_u8: jax.Array) -> jax.Array:
+            return labelpack.pack_labels(fwd_labels(variables, image_u8),
+                                         self._pack_mode)
+
         # variables are a jit ARGUMENT, not a closure capture: captured
         # arrays become HLO constants, which baked all 135M fc4096 params
         # into the executable (353MB serialized, minutes of extra XLA
@@ -96,6 +111,7 @@ class Predictor:
             self._variables = jax.device_put(variables)
             self._jfwd = jax.jit(fwd)
             self._jfwd_labels = jax.jit(fwd_labels)
+            self._jfwd_labels_packed = jax.jit(fwd_labels_packed)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -110,6 +126,9 @@ class Predictor:
             self._jfwd_labels = jax.jit(fwd_labels,
                                         in_shardings=(repl, bspec),
                                         out_shardings=bspec)
+            self._jfwd_labels_packed = jax.jit(fwd_labels_packed,
+                                               in_shardings=(repl, bspec),
+                                               out_shardings=bspec)
         self._palette = np.asarray(overlay_palette)
         self._alpha = alpha
 
@@ -118,6 +137,15 @@ class Predictor:
 
     def _fwd_labels(self, image_u8):
         return self._jfwd_labels(self._variables, image_u8)
+
+    def _fetch_labels(self, image_u8) -> np.ndarray:
+        """Device forward + packed label fetch + host unpack (the sweep's
+        fetch leg: bit/nibble-packed wire format, ops/labelpack.py)."""
+        from semanticsegmentation_tensorflow_tpu.ops.labelpack import (
+            unpack_labels)
+        packed = np.asarray(self._jfwd_labels_packed(self._variables,
+                                                     image_u8))
+        return unpack_labels(packed, self.image_size[1], self._pack_mode)
 
     def __call__(self, image_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """[H,W,3] or [N,H,W,3] uint8 -> (overlay u8, labels i32), same rank."""
@@ -159,10 +187,11 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
         stable);
       * the device forward is batched (``batch_size`` > 1; the reference
         runs 1 image at a time — batch 8 is ~2x device throughput,
-        benchmarks/results.json) and returns only the u8 LABEL MAP — 12x
-        less device->host traffic than fetching rendered overlays, which
-        matters on PCIe and dominates on this tunneled dev chip (measured
-        ~11/17 MB/s up/down);
+        benchmarks/results.json) and returns only the LABEL MAP, packed
+        on device to 1 bit/px for binary label spaces (nibbles for
+        nc<=16, ops/labelpack.py) — 96x less device->host traffic than
+        fetching rendered overlays, which matters on PCIe and dominates
+        on this tunneled dev chip (measured ~11/17 MB/s up/down);
       * overlay compositing (ops.overlay.host_overlay, same blend math as
         the device op), PNG encode via the vectorized sub-filter encoder
         (utils/fastpng.py, ~7x PIL — encode was 97% of the round-1 sweep;
@@ -252,7 +281,7 @@ def save_inference_samples(predictor: Predictor, image_paths: Iterable[str],
             if isinstance(item, BaseException):
                 raise item
             names, imgs, dev = item
-            labels = np.asarray(predictor._fwd_labels(dev))
+            labels = predictor._fetch_labels(dev)
             for i in range(len(names)):
                 out_path = os.path.join(out_dir, os.path.basename(names[i]))
                 futures.append(

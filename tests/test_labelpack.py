@@ -1,0 +1,95 @@
+"""Label-map wire packing (ops/labelpack.py): exactness + integration.
+
+The sweep fetch leg ships packed label maps (1 bit/px binary, nibble for
+nc<=16); these tests pin unpack(pack(x)) == x for every mode and ragged
+width, that the Predictor picks the right mode from the model's class
+count, and that the packed fetch path returns bit-identical labels to
+the raw path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semanticsegmentation_tensorflow_tpu.ops import labelpack
+
+
+class TestPackUnpack:
+    @pytest.mark.parametrize("mode,nc", [("bits", 2), ("nibbles", 16)])
+    @pytest.mark.parametrize("w", [1, 7, 8, 9, 16, 31, 1242])
+    def test_roundtrip(self, mode, nc, w):
+        rng = np.random.default_rng(w + nc)
+        labels = rng.integers(0, nc, (2, 5, w)).astype(np.uint8)
+        packed = np.asarray(labelpack.pack_labels(jnp.asarray(labels), mode))
+        assert packed.shape == (2, 5, labelpack.packed_width(w, mode))
+        assert packed.dtype == np.uint8
+        out = labelpack.unpack_labels(packed, w, mode)
+        assert np.array_equal(out, labels)
+
+    def test_none_is_identity(self):
+        labels = np.arange(24, dtype=np.int32).reshape(2, 3, 4)
+        packed = labelpack.pack_labels(jnp.asarray(labels), "none")
+        assert np.array_equal(
+            labelpack.unpack_labels(np.asarray(packed), 4, "none"), labels)
+
+    def test_mode_selection(self):
+        assert labelpack.pack_mode(2) == "bits"
+        assert labelpack.pack_mode(1) == "bits"
+        assert labelpack.pack_mode(3) == "nibbles"
+        assert labelpack.pack_mode(16) == "nibbles"
+        assert labelpack.pack_mode(19) == "none"
+
+    def test_pack_is_traceable_and_jittable(self):
+        labels = jnp.zeros((1, 4, 12), jnp.uint8)
+        out = jax.jit(lambda x: labelpack.pack_labels(x, "bits"))(labels)
+        assert out.shape == (1, 4, 2)
+
+    def test_bit_order_matches_numpy_unpackbits(self):
+        # first pixel must land in the MSB (np.unpackbits default "big")
+        labels = jnp.asarray([[1, 0, 0, 0, 0, 0, 0, 1]], jnp.uint8)
+        packed = np.asarray(labelpack.pack_labels(labels, "bits"))
+        assert packed[0, 0] == 0b10000001
+
+
+class TestPredictorIntegration:
+    @pytest.fixture(scope="class")
+    def predictor(self):
+        from semanticsegmentation_tensorflow_tpu.infer.predict import Predictor
+        from semanticsegmentation_tensorflow_tpu.models import build_model
+        model = build_model("fcn8s", num_classes=2, fc_features=64)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(rng, jnp.zeros((1, 64, 96, 3)), train=False)
+        return Predictor(model, variables, (61, 93))
+
+    def test_mode_from_num_classes(self, predictor):
+        assert predictor._pack_mode == "bits"
+
+    def test_packed_fetch_equals_raw(self, predictor):
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (2, 61, 93, 3)).astype(np.uint8)
+        raw = np.asarray(predictor._fwd_labels(imgs))
+        packed = predictor._fetch_labels(imgs)
+        assert packed.dtype == np.uint8
+        assert np.array_equal(packed, raw.astype(np.uint8))
+
+    def test_sweep_uses_packed_path(self, tmp_path, predictor):
+        # end-to-end: save_inference_samples goes through _fetch_labels
+        from PIL import Image
+
+        from semanticsegmentation_tensorflow_tpu.infer.predict import (
+            save_inference_samples)
+        rng = np.random.default_rng(1)
+        paths = []
+        for i in range(2):
+            p = tmp_path / f"im{i}.png"
+            Image.fromarray(
+                rng.integers(0, 256, (61, 93, 3)).astype(np.uint8)).save(p)
+            paths.append(str(p))
+        outs = list(save_inference_samples(
+            predictor, paths, runs_dir=str(tmp_path / "runs"),
+            batch_size=2, writers=1))
+        assert len(outs) == 2
+        for src, dst in outs:
+            a = np.asarray(Image.open(dst).convert("RGB"))
+            assert a.shape == (61, 93, 3)
