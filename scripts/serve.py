@@ -160,10 +160,21 @@ def main(argv=None) -> int:
     from http.server import ThreadingHTTPServer
 
     predictor = build_predictor(args)
-    if args.warmup:  # pay the XLA compile before the first request
+    if args.warmup:  # pay the one-time costs before the first request
+        from semanticsegmentation_tensorflow_tpu.ops.overlay import (
+            host_overlay,
+        )
+        from semanticsegmentation_tensorflow_tpu.utils.fastpng import (
+            encode_png,
+        )
         hs, ws = predictor.image_size
-        # the serving path is the packed-label fetch (see the handler)
-        predictor._fetch_labels(np.zeros((1, hs, ws, 3), np.uint8))
+        # the serving path is packed-label fetch -> host blend -> encode;
+        # warm all three (XLA compile, the lazy native g++ build + blend
+        # LUT, and the encoder) so no request pays them
+        dummy = np.zeros((hs, ws, 3), np.uint8)
+        labels = predictor._fetch_labels(dummy[None])[0]
+        encode_png(host_overlay(dummy, labels, predictor._palette,
+                                predictor._alpha))
     stats = {"requests": 0, "last_ms": None}
     # threading: concurrent requests serialize on the device anyway (jax
     # dispatch is thread-safe), but one idle keep-alive client must never

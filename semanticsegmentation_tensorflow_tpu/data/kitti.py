@@ -50,10 +50,12 @@ def load_image(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     """Decode to RGB uint8 [H, W, 3], optionally bilinear-resized to (H, W)."""
     if _native_resize_opted_in() and native.available():
         with open(path, "rb") as f:
-            arr = native.decode_png(f.read())
-        if size is not None and arr.shape[:2] != size:
-            arr = native.resize_bilinear(arr, size[0], size[1])
-        return arr
+            data = f.read()
+        if data[:8] == b"\x89PNG\r\n\x1a\n":  # non-PNG inputs fall through
+            arr = native.decode_png(data)
+            if size is not None and arr.shape[:2] != size:
+                arr = native.resize_bilinear(arr, size[0], size[1])
+            return arr
     img = Image.open(path).convert("RGB")
     if size is not None and (img.height, img.width) != size:
         img = img.resize((size[1], size[0]), Image.BILINEAR)
@@ -65,13 +67,13 @@ def load_gt(path: str, size: tuple[int, int] | None = None,
             ) -> tuple[np.ndarray, np.ndarray]:
     """Decode + nearest-resize GT, return (ids [H,W] i32, valid [H,W] bool)."""
     img = Image.open(path).convert("RGB")
+    needs_resize = size is not None and (img.height, img.width) != size
+    if needs_resize and not native.available():
+        img = img.resize((size[1], size[0]), Image.NEAREST)
+        needs_resize = False
     arr = np.asarray(img, dtype=np.uint8)
-    if size is not None and arr.shape[:2] != size:
-        if native.available():  # bit-equal to PIL NEAREST, ~3x faster
-            arr = native.resize_nearest(arr, size[0], size[1])
-        else:
-            arr = np.asarray(
-                img.resize((size[1], size[0]), Image.NEAREST), dtype=np.uint8)
+    if needs_resize:  # native: bit-equal to PIL NEAREST, ~3x faster
+        arr = native.resize_nearest(arr, size[0], size[1])
     return encode_labels(arr, palette)
 
 

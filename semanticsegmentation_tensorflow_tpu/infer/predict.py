@@ -96,7 +96,7 @@ class Predictor:
         nc = jax.eval_shape(
             logits_fn, variables,
             jax.ShapeDtypeStruct((1, *image_size, 3), jnp.uint8)).shape[-1]
-        self._pack_mode = labelpack.pack_mode(nc) if nc <= 256 else "none"
+        self._pack_mode = labelpack.pack_mode(nc)  # "none" for nc > 16
 
         def fwd_labels_packed(variables, image_u8: jax.Array) -> jax.Array:
             return labelpack.pack_labels(fwd_labels(variables, image_u8),

@@ -10,10 +10,14 @@ via ctypes (no pybind11 in this image).
 Contract:
 
 * ``decode_png``/``png_info`` are **bit-exact** with PIL's
-  ``Image.open(...).convert("RGB")`` for every PNG color type (decode is
-  lossless and normalization rules match) — verified in
-  tests/test_native.py — so the native decoder is default-on in the data
-  layer with zero numerical effect.
+  ``Image.open(...).convert("RGB")`` for every 8-bit PNG color type
+  (gray, gray+alpha, palette, RGB, RGBA — decode is lossless and the
+  normalization rules match), verified in tests/test_native.py.
+  Exception: 16-bit inputs take the standard high-byte strip
+  (0x1234 -> 0x12), where PIL round-trips through its integer mode and
+  saturates (convert("RGB") on mode "I" clamps to 255) — the strip is
+  the faithful conversion, and 16-bit sources don't occur in KITTI/
+  Cityscapes; the behavior is pinned in tests.
 * ``resize_bilinear``/``resize_nearest`` bit-match the numpy oracles
   ``resize_bilinear_ref``/``resize_nearest_ref`` in this file (16.16
   fixed-point weights, 32.32 accumulation, round-half-up; half-pixel
@@ -166,7 +170,11 @@ def png_info(data: bytes) -> tuple[int, int]:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> [H, W, 3] uint8 RGB (any color type normalized)."""
+    """PNG bytes -> [H, W, 3] uint8 RGB (any color type normalized).
+
+    Two C calls: a header probe to size the buffer, then the decode. The
+    probe reads only the signature + IHDR (microseconds vs ~10 ms for the
+    pixel decode), so the double header parse is noise."""
     lib = load()
     if lib is None:
         raise RuntimeError(f"segio unavailable: {_LOAD_FAILED}")

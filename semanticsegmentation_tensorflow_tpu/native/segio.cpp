@@ -66,9 +66,10 @@ static int decode_common(const uint8_t* data, size_t len, uint8_t* out,
     return -2;
   }
   MemReader reader = {data, len, 0, false};
-  png_bytep* rows = nullptr;
-  // libpng error handling is longjmp-based; everything allocated before this
-  // point is released on the error path below.
+  // libpng error handling is longjmp-based; `rows` must be volatile so its
+  // post-setjmp value is well-defined in the handler (libpng's documented
+  // pattern — a plain local modified after setjmp is indeterminate there).
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     std::free(rows);
     png_destroy_read_struct(&png, &info, nullptr);
@@ -195,21 +196,26 @@ int segio_encode_png_fixed(const uint8_t* rgb, int32_t h, int32_t w,
   if (!raw) return -2;
   sub_filter(rgb, h, w, raw);
 
-  // Fixed literal codes, pre-reversed for LSB-first packing.
-  static uint16_t code[256];
-  static uint8_t codelen[256];
-  static bool init_done = false;
-  if (!init_done) {
-    for (int v = 0; v < 144; ++v) {
-      code[v] = static_cast<uint16_t>(bit_reverse(0x30 + v, 8));
-      codelen[v] = 8;
+  // Fixed literal codes, pre-reversed for LSB-first packing. Function-local
+  // static initialization is thread-safe (C++11 magic statics) — writer
+  // threads encode concurrently since the ctypes call releases the GIL.
+  struct FixedCodes {
+    uint16_t code[256];
+    uint8_t len[256];
+    FixedCodes() {
+      for (int v = 0; v < 144; ++v) {
+        code[v] = static_cast<uint16_t>(bit_reverse(0x30 + v, 8));
+        len[v] = 8;
+      }
+      for (int v = 144; v < 256; ++v) {
+        code[v] = static_cast<uint16_t>(bit_reverse(0x190 + (v - 144), 9));
+        len[v] = 9;
+      }
     }
-    for (int v = 144; v < 256; ++v) {
-      code[v] = static_cast<uint16_t>(bit_reverse(0x190 + (v - 144), 9));
-      codelen[v] = 9;
-    }
-    init_done = true;
-  }
+  };
+  static const FixedCodes fc;
+  const uint16_t* code = fc.code;
+  const uint8_t* codelen = fc.len;
 
   // PNG skeleton around one zlib stream. Chunk layout mirrors fastpng.py.
   // Required capacity: 8 sig + 25 IHDR + (12 + zdata) IDAT + 12 IEND.

@@ -55,6 +55,18 @@ class TestDecode:
         data = b.getvalue()
         assert np.array_equal(native.decode_png(data), _pil_rgb(data))
 
+    def test_16bit_gray_strips_high_byte(self):
+        # PIL opens 16-bit gray as mode "I;16" and convert("RGB") SATURATES
+        # (values > 255 clamp); segio does the standard high-byte strip —
+        # the faithful conversion. Pinned here per the documented exception
+        # in native/__init__.py (16-bit sources don't occur in KITTI).
+        a16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 4660)
+        b = io.BytesIO()
+        Image.fromarray(a16).save(b, "PNG")
+        out = native.decode_png(b.getvalue())
+        expect = (a16 >> 8).astype(np.uint8)
+        assert np.array_equal(out, np.repeat(expect[:, :, None], 3, axis=2))
+
     def test_info_without_decode(self):
         data = _pil_png(np.zeros((7, 13, 3), np.uint8), "RGB")
         assert native.png_info(data) == (7, 13)
@@ -210,6 +222,21 @@ class TestWiring:
             via_native, native.resize_bilinear(arr, 38, 124))
         # identity size: both paths bit-equal (pure decode)
         assert np.array_equal(kitti.load_image(str(p), (75, 248)), arr)
+
+    def test_native_resize_optin_nonpng_falls_back_to_pil(self, tmp_path,
+                                                          monkeypatch):
+        # the opt-in fast path only handles PNG; other formats must keep
+        # working through PIL even with SEG_NATIVE_RESIZE=1
+        from semanticsegmentation_tensorflow_tpu.data import kitti
+        rng = np.random.default_rng(16)
+        arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+        p = tmp_path / "img.bmp"
+        Image.fromarray(arr).save(p)
+        monkeypatch.setenv("SEG_NATIVE_RESIZE", "1")
+        out = kitti.load_image(str(p), (10, 15))
+        ref = np.asarray(Image.open(p).convert("RGB").resize(
+            (15, 10), Image.BILINEAR))
+        assert np.array_equal(out, ref)
 
     def test_kill_switch_subprocess(self):
         # SEG_NATIVE=0 must disable the library entirely (fresh process:
