@@ -310,7 +310,8 @@ def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
     labels = None
     t = time.perf_counter()
     for i in range(0, n_leg, batch):
-        labels = np.asarray(pred._fwd_labels(dev[i:i + batch]))
+        # the sweep's real fetch leg: packed wire format + host unpack
+        labels = pred._fetch_labels(dev[i:i + batch])
     compute_s = time.perf_counter() - t
     t = time.perf_counter()
     enc_dir = os.path.join(tmp_root, "enc")
