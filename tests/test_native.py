@@ -93,6 +93,20 @@ class TestEncode:
             arr = arr.reshape(h, w, 3)
             assert np.array_equal(_pil_rgb(native.encode_png(arr)), arr)
 
+    def test_concurrent_encodes_are_consistent(self):
+        # writer pools encode concurrently with the GIL released; the
+        # Huffman tables use thread-safe static init (a prior data race)
+        from concurrent.futures import ThreadPoolExecutor
+        rng = np.random.default_rng(6)
+        arrs = [rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+                for _ in range(16)]
+        expect = [native.encode_png(a) for a in arrs]
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            got = list(pool.map(native.encode_png, arrs))
+        assert got == expect
+        for a, g in zip(arrs, got):
+            assert np.array_equal(_pil_rgb(g), a)
+
     def test_fastpng_uses_native_at_level1(self):
         from semanticsegmentation_tensorflow_tpu.utils import fastpng
         rng = np.random.default_rng(5)
