@@ -148,7 +148,13 @@ def main() -> None:
     # MEASURED model only, never the canonical denominator above.
     extra = json.loads(os.environ.get("BENCH_MODEL_KWARGS", "{}"))
     model = FCN8s(num_classes=2, fc_features=fc, **extra)
-    state = create_train_state(model, jax.random.key(0), (batch, h, w, 3), tx)
+    # BENCH_OPT_KWARGS: optimizer-side A/B knob (e.g. '{"mu_dtype":
+    # "bfloat16"}') — like BENCH_MODEL_KWARGS it changes only the MEASURED
+    # step; the canonical denominator above always uses plain f32 Adam.
+    opt_extra = json.loads(os.environ.get("BENCH_OPT_KWARGS", "{}"))
+    meas_tx = make_optimizer("adam", 1e-4, **opt_extra) if opt_extra else tx
+    state = create_train_state(model, jax.random.key(0), (batch, h, w, 3),
+                               meas_tx)
 
     # warmup (state is donated; rebuild via the compiled fn itself).
     # NOTE: sync by *fetching* the loss value — on the tunneled axon backend

@@ -125,7 +125,8 @@ def _bench_batch(batch: int, h: int, w: int, num_classes: int) -> dict:
 def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
                 display: str | None = None, num_classes: int = 2,
                 canon_kwargs: dict | None = None,
-                compute_mfu: bool = True, **kwargs) -> dict:
+                compute_mfu: bool = True,
+                opt_kwargs: dict | None = None, **kwargs) -> dict:
     from semanticsegmentation_tensorflow_tpu.data import make_augment_fn
     from semanticsegmentation_tensorflow_tpu.models import build_model
     from semanticsegmentation_tensorflow_tpu.train import (
@@ -136,8 +137,12 @@ def bench_train(model_name: str, batch: int, h: int, w: int, steps: int,
     from semanticsegmentation_tensorflow_tpu.config import DataConfig
 
     model = build_model(model_name, num_classes=num_classes, **kwargs)
+    # opt_kwargs (e.g. {"mu_dtype": "bfloat16"}): optimizer-side perf knobs
+    # for the A/B harness — the canonical-FLOPs denominator below always
+    # uses the plain f32 Adam (the semantic workload).
     state = create_train_state(model, jax.random.key(0), (batch, h, w, 3),
-                               make_optimizer("adam", 1e-4))
+                               make_optimizer("adam", 1e-4,
+                                              **(opt_kwargs or {})))
     dc = DataConfig()
     aug = make_augment_fn(dc.mean, dc.std, crop_size=None)
     step = make_train_step(num_classes=num_classes, augment_fn=aug)

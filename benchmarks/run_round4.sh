@@ -23,6 +23,12 @@ run() {                    # run <timeout_s> <name> <cmd...>
 # 1. headline + fold_b1 revert check + canonical recount for the new hash
 run 2700 01_bench python bench.py
 
+# 1b. bf16 first-moment Adam on the headline (weight-heavy fc4096: the
+#     Adam update is ~5 full-param HBM passes; bf16 mu deletes one).
+#     Numerics knob — check train_miou/loss parity before any default flip.
+run 2700 01b_bench_bf16mu env BENCH_OPT_KWARGS='{"mu_dtype": "bfloat16"}' \
+    python bench.py
+
 # 2. full sweep -> refresh results.json (+ per-model infer rows), sync
 #    README. BIG budget: canonical_flops.json was pruned this round, so
 #    all 6 train rows recount (a multi-minute extra compile each) plus 3

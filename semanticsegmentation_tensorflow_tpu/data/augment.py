@@ -82,12 +82,18 @@ def make_augment_fn(mean: Sequence[float], std: Sequence[float],
 
     def augment(rng: jax.Array, batch: dict) -> dict:
         n = batch["label"].shape[0]
-        img = normalize_images(batch["image"], mean, std)
         val = batch.get("valid")
         if val is None:
             val = jnp.ones(batch["label"].shape, jnp.bool_)
         keys = jax.random.split(rng, n)
-        img, lbl, val = jax.vmap(aug_one)(keys, img, batch["label"], val)
+        # Flip/crop in the UINT8 domain, normalize after: a spatial
+        # permutation commutes exactly with the per-channel elementwise
+        # normalize (bit-identical results, tested), and the flip's
+        # rev+select chain then moves 4x fewer bytes than on the f32
+        # image it used to run on.
+        img, lbl, val = jax.vmap(aug_one)(keys, batch["image"],
+                                          batch["label"], val)
+        img = normalize_images(img, mean, std)
         return {"image": img, "label": lbl, "valid": val}
 
     return augment

@@ -101,6 +101,38 @@ class TestAugment:
         o2 = jax.device_get(f(jax.random.key(7), b))
         np.testing.assert_array_equal(o1["image"], o2["image"])
 
+    def test_u8_domain_flip_crop_matches_normalize_first(self):
+        """augment() flips/crops in uint8 and normalizes after; this must be
+        bit-identical to the round-3 order (normalize f32 first, then
+        flip/crop) — spatial permutations commute exactly with the
+        per-channel elementwise normalize. Guards the 4x-byte-saving
+        reorder against any future drift in the RNG plumbing."""
+        from functools import partial
+
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _augment_one,
+        )
+
+        mean, std = (31.0, 42.5, 7.25), (55.5, 12.0, 9.75)
+        b = self._batch(n=6)
+        for crop in (None, (16, 24)):
+            aug = make_augment_fn(mean, std, crop_size=crop)
+            new = jax.device_get(aug(jax.random.key(11), b))
+
+            # reference: the old ordering, spelled out
+            img = normalize_images(b["image"], mean, std)
+            keys = jax.random.split(jax.random.key(11), 6)
+            old_i, old_l, old_v = jax.vmap(
+                partial(_augment_one, crop_hw=crop, random_flip=True))(
+                    keys, img, jnp.asarray(b["label"]),
+                    jnp.asarray(b["valid"]))
+            np.testing.assert_array_equal(new["image"],
+                                          jax.device_get(old_i))
+            np.testing.assert_array_equal(new["label"],
+                                          jax.device_get(old_l))
+            np.testing.assert_array_equal(new["valid"],
+                                          jax.device_get(old_v))
+
     def test_crop_randomness_across_examples(self):
         b = self._batch(n=8)
         b["image"] = np.broadcast_to(

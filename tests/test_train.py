@@ -54,6 +54,27 @@ class TestSingleDevice:
         assert last < first * 0.2, (first, last)
         assert last < 0.25
 
+    def test_bf16_first_moment_adam_converges(self):
+        """mu_dtype='bfloat16' (make_optimizer's weight-heavy-config perf
+        knob, A/B'd via BENCH_OPT_KWARGS / bench_flags --opt): the first
+        moment is actually stored in bf16, and the overfit gate still
+        passes — the knob may trade a little precision, never convergence."""
+        model = build_model("unet", num_classes=2, base_features=8)
+        tx = make_optimizer("adam", 3e-3, mu_dtype="bfloat16")
+        state = create_train_state(model, jax.random.key(0), (4, 32, 32, 3),
+                                   tx)
+        step = make_train_step(num_classes=2)
+        batch = _batch()
+        state, out = step(state, batch)
+        first = float(out["loss"])
+        mu = state.opt_state[0].mu
+        assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(mu))
+        for _ in range(74):
+            state, out = step(state, batch)
+        last = float(out["loss"])
+        assert last < first * 0.2, (first, last)
+        assert last < 0.25
+
     def test_augment_fused_into_step(self):
         aug = make_augment_fn((127.5, 127.5, 127.5), (58.0, 58.0, 58.0),
                               crop_size=(16, 16))

@@ -35,6 +35,9 @@ def main() -> None:
                         "packed_stage0=false|true|\"mixed\")")
     p.add_argument("--base", default="{}",
                    help="json dict of fixed model kwargs")
+    p.add_argument("--opt", default="{}",
+                   help="json dict of make_optimizer kwargs applied to every "
+                        "combo (e.g. '{\"mu_dtype\": \"bfloat16\"}')")
     args = p.parse_args()
 
     from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
@@ -68,7 +71,8 @@ def main() -> None:
         # the free numerics fingerprint for the A/B.
         row = bench_train(args.model, args.batch, args.h, args.w,
                           args.steps, display=f"{args.model}[{tag}]",
-                          num_classes=args.nc, compute_mfu=False, **kw)
+                          num_classes=args.nc, compute_mfu=False,
+                          opt_kwargs=json.loads(args.opt), **kw)
         print(row, flush=True)
 
 
