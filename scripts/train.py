@@ -33,6 +33,17 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "poly", "cosine"],
+                   help="LR decay over the run (default: preset's, normally "
+                        "constant — the reference's behavior; poly is the "
+                        "DeepLab-paper schedule)")
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="linear LR warmup steps before the schedule")
+    p.add_argument("--class-balance", action="store_true",
+                   help="median-frequency class balancing (SegNet paper): "
+                        "scan train GTs once, weight each class's loss by "
+                        "median_freq/freq")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
     p.add_argument("--pallas-preprocess", action="store_true",
@@ -95,6 +106,12 @@ def main(argv=None):
         tr = dataclasses.replace(tr, batch_size=args.batch_size)
     if args.lr is not None:
         tr = dataclasses.replace(tr, learning_rate=args.lr)
+    if args.lr_schedule is not None:
+        tr = dataclasses.replace(tr, lr_schedule=args.lr_schedule)
+    if args.warmup_steps is not None:
+        tr = dataclasses.replace(tr, warmup_steps=args.warmup_steps)
+    if args.class_balance:
+        tr = dataclasses.replace(tr, class_balance=True)
     if args.checkpoint_dir is not None:
         tr = dataclasses.replace(tr, checkpoint_dir=args.checkpoint_dir)
     if args.seed is not None:
@@ -177,7 +194,28 @@ def main(argv=None):
         h = -(-dc.image_size[0] // stride) * stride
         w = -(-dc.image_size[1] // stride) * stride
 
-    tx = make_optimizer(tr.optimizer, tr.learning_rate, tr.weight_decay)
+    tx = make_optimizer(tr.optimizer, tr.learning_rate, tr.weight_decay,
+                        schedule=tr.lr_schedule,
+                        total_steps=tr.epochs * loader.steps_per_epoch(),
+                        warmup_steps=tr.warmup_steps)
+    if tr.lr_schedule != "constant" or tr.warmup_steps:
+        print(f"lr schedule: {tr.lr_schedule} over "
+              f"{tr.epochs * loader.steps_per_epoch()} steps"
+              + (f" (+{tr.warmup_steps} warmup)" if tr.warmup_steps else ""))
+
+    class_weights = None
+    if tr.class_balance:
+        from semanticsegmentation_tensorflow_tpu.data.pipeline import (
+            class_pixel_counts,
+        )
+        from semanticsegmentation_tensorflow_tpu.train.loss import (
+            median_frequency_weights,
+        )
+        class_weights = median_frequency_weights(
+            class_pixel_counts(ds, dc.num_classes))
+        print("class balance (median-frequency): "
+              + " ".join(f"{float(wt):.3f}" for wt in class_weights))
+
     state = create_train_state(model, jax.random.key(tr.seed),
                                (tr.batch_size, h, w, 3), tx)
     if args.vgg_weights:
@@ -222,7 +260,7 @@ def main(argv=None):
     )
 
     step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug,
-                              remat=tr.remat)
+                              remat=tr.remat, class_weights=class_weights)
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,

@@ -35,6 +35,12 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     optimizer: str = "adam"               # adam | sgd | adamw
+    # constant (reference behavior) | poly (DeepLab-paper decay) | cosine
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    # median-frequency class balancing (SegNet paper): scan the train GTs
+    # once, weight each class's CE by median_freq/freq
+    class_balance: bool = False
     log_every: int = 10
     checkpoint_every: int = 500
     checkpoint_dir: str = "checkpoints"

@@ -171,3 +171,17 @@ class BatchLoader:
     def steps_per_epoch(self) -> int:
         n = len(self.ds.train_images)
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+
+def class_pixel_counts(dataset, num_classes: int) -> np.ndarray:
+    """[C] labeled-pixel counts over the train split (ignore pixels
+    excluded) — the input to ``train.loss.median_frequency_weights``
+    (SegNet-paper class balancing). One host pass over the ground-truth
+    maps; at KITTI scale (~300 images) this is a few seconds, and the
+    decoded examples land in the loader's RAM cache path anyway."""
+    counts = np.zeros(num_classes, np.int64)
+    for path in dataset.train_images:
+        _, ids, valid = dataset.load_example(path)
+        counts += np.bincount(ids[valid].ravel(),
+                              minlength=num_classes)[:num_classes]
+    return counts

@@ -18,6 +18,7 @@ def softmax_cross_entropy_sum(
     logits: jax.Array,
     labels_onehot: jax.Array,
     valid_mask: jax.Array | None = None,
+    class_weights: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """(sum of masked per-pixel CE, number of valid pixels).
 
@@ -31,8 +32,19 @@ def softmax_cross_entropy_sum(
       logits:        [N, H, W, C] float32.
       labels_onehot: [N, H, W, C] one-hot (or soft) targets.
       valid_mask:    optional [N, H, W] {0,1}; invalid pixels contribute 0.
+      class_weights: optional [C] per-class loss weights (e.g.
+        :func:`median_frequency_weights` — the SegNet paper's class
+        balancing). Each pixel's CE is scaled by its TRUE class's weight;
+        the returned count stays the unweighted valid-pixel count (the
+        Eigen & Fergus convention: weighted sum / pixel count), so
+        ``class_weights=None`` and all-ones are bit-identical.
     """
     ce = optax.softmax_cross_entropy(logits, labels_onehot)  # [N, H, W]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, ce.dtype)
+        # expected weight under the target distribution == w[label] for
+        # one-hot targets, and stays well-defined for soft targets
+        ce = ce * jnp.sum(labels_onehot * w, axis=-1)
     if valid_mask is None:
         return jnp.sum(ce), jnp.asarray(ce.size, ce.dtype)
     valid = valid_mask.astype(ce.dtype)
@@ -43,8 +55,33 @@ def softmax_cross_entropy_loss(
     logits: jax.Array,
     labels_onehot: jax.Array,
     valid_mask: jax.Array | None = None,
+    class_weights: jax.Array | None = None,
 ) -> jax.Array:
     """Mean per-pixel CE over valid pixels (single-device convenience form)."""
     ce_sum, valid_sum = softmax_cross_entropy_sum(
-        logits, labels_onehot, valid_mask)
+        logits, labels_onehot, valid_mask, class_weights)
     return ce_sum / jnp.maximum(valid_sum, 1.0)
+
+
+def median_frequency_weights(class_pixel_counts) -> "jnp.ndarray":
+    """Median-frequency balancing weights (Eigen & Fergus; used by the
+    SegNet paper for road scenes): ``w_c = median(freq) / freq_c`` where
+    ``freq_c`` is class c's share of labeled pixels. Rare classes get
+    weight > 1, dominant ones < 1; classes absent from the counts get 0
+    (they can never appear in the loss anyway).
+
+    Input: [C] pixel counts (e.g. ``data.pipeline.class_pixel_counts``).
+    Returns a float32 [C] array for ``class_weights=``.
+    """
+    import numpy as np
+
+    counts = np.asarray(class_pixel_counts, np.float64)
+    total = counts.sum()
+    if total <= 0:
+        raise ValueError("class_pixel_counts sums to zero")
+    freq = counts / total
+    present = freq > 0
+    med = np.median(freq[present])
+    w = np.zeros_like(freq)
+    w[present] = med / freq[present]
+    return jnp.asarray(w, jnp.float32)

@@ -32,21 +32,80 @@ class TrainState(flax.struct.PyTreeNode):
                             opt_state=new_opt_state, **changes)
 
 
+def make_lr_schedule(learning_rate: float, schedule: str = "constant",
+                     total_steps: int | None = None, warmup_steps: int = 0,
+                     power: float = 0.9, end_factor: float = 0.0):
+    """Learning-rate schedule factory: a float (constant, no warmup) or an
+    optax schedule.
+
+    The reference trains with constant-LR Adam (SURVEY.md §2 row 6), so
+    ``constant`` is the default everywhere; ``poly`` (power 0.9 — the
+    DeepLab-paper schedule for its ASPP config) and ``cosine`` are the
+    standard segmentation decays, both with an optional linear warmup.
+    ``total_steps`` counts OPTIMIZER steps and is required for the decaying
+    schedules; decay runs over the post-warmup remainder down to
+    ``learning_rate * end_factor``.
+    """
+    if schedule in (None, "constant"):
+        if not warmup_steps:
+            return learning_rate
+        return optax.schedules.join_schedules(
+            [optax.schedules.linear_schedule(0.0, learning_rate, warmup_steps),
+             optax.schedules.constant_schedule(learning_rate)],
+            [warmup_steps])
+    if total_steps is None:
+        raise ValueError(f"schedule={schedule!r} requires total_steps")
+    decay_steps = max(total_steps - warmup_steps, 1)
+    end = learning_rate * end_factor
+    if schedule == "poly":
+        # NOT optax.polynomial_schedule: under jit XLA lowers its
+        # ``frac ** 0.9`` as exp(0.9*log(frac)), which is NaN at frac == 0 —
+        # i.e. the LR (and then every parameter, via 0*inf in the update)
+        # goes NaN exactly at count == transition_steps, the normal final
+        # step of a poly-scheduled run. Eager evaluation returns 0, so the
+        # bug only bites inside the compiled train step. Guard the power
+        # with a select on the raw frac.
+        def dec(count):
+            frac = jnp.clip(1.0 - count / decay_steps, 0.0, 1.0)
+            val = (learning_rate - end) * frac ** power + end
+            return jnp.where(frac > 0, val, end)
+    elif schedule == "cosine":
+        dec = optax.schedules.cosine_decay_schedule(
+            init_value=learning_rate, decay_steps=decay_steps,
+            alpha=end_factor)
+    else:
+        raise ValueError(f"unknown lr schedule {schedule!r} "
+                         "(constant | poly | cosine)")
+    if not warmup_steps:
+        return dec
+    return optax.schedules.join_schedules(
+        [optax.schedules.linear_schedule(0.0, learning_rate, warmup_steps),
+         dec], [warmup_steps])
+
+
 def make_optimizer(name: str, learning_rate: float,
                    weight_decay: float = 0.0,
-                   mu_dtype: Any = None) -> optax.GradientTransformation:
+                   mu_dtype: Any = None,
+                   schedule: str = "constant",
+                   total_steps: int | None = None,
+                   warmup_steps: int = 0) -> optax.GradientTransformation:
     """``mu_dtype``: store Adam's FIRST moment in this dtype (e.g. bf16) —
     a perf knob for weight-heavy configs (fc4096's 411 MB kernel makes the
     Adam update ~5 full-param HBM passes; bf16 mu saves one of them). The
     second moment stays f32 (it needs the range). Off (f32) by default —
-    a numerics change, never flipped without an accuracy A/B."""
+    a numerics change, never flipped without an accuracy A/B.
+
+    ``schedule``/``total_steps``/``warmup_steps``: see
+    :func:`make_lr_schedule`; the default matches the reference's constant
+    LR exactly (a plain float, no schedule machinery in the jaxpr)."""
+    lr = make_lr_schedule(learning_rate, schedule, total_steps, warmup_steps)
     if name == "adam":
-        tx = optax.adam(learning_rate, mu_dtype=mu_dtype)
+        tx = optax.adam(lr, mu_dtype=mu_dtype)
     elif name == "adamw":
-        tx = optax.adamw(learning_rate, weight_decay=weight_decay,
+        tx = optax.adamw(lr, weight_decay=weight_decay,
                          mu_dtype=mu_dtype)
     elif name == "sgd":
-        tx = optax.sgd(learning_rate, momentum=0.9,
+        tx = optax.sgd(lr, momentum=0.9,
                        accumulator_dtype=mu_dtype)
     else:
         raise ValueError(f"unknown optimizer {name!r}")

@@ -38,7 +38,7 @@ AugmentFn = Callable[[jax.Array, dict], dict]  # (rng, batch) -> batch
 
 def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
                   train: bool, dropout_rng: jax.Array | None = None,
-                  remat: bool = False):
+                  remat: bool = False, class_weights=None):
     has_bn = bool(jax.tree.leaves(state.batch_stats))
     variables = {"params": params}
     if has_bn:
@@ -66,13 +66,14 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
     # the (psum'd, when sharded) global valid count so mesh and no-mesh
     # training are numerically identical even with uneven masks.
     ce_sum, valid_sum = softmax_cross_entropy_sum(
-        logits, onehot, batch.get("valid"))
+        logits, onehot, batch.get("valid"), class_weights)
     return ce_sum, (valid_sum, logits, new_stats)
 
 
 def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
                      augment_fn: AugmentFn | None, axis: str | None,
-                     remat: bool = False, with_metrics: bool = True):
+                     remat: bool = False, with_metrics: bool = True,
+                     class_weights=None):
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis is not None:
         # decorrelate augmentation/dropout across shards
@@ -83,7 +84,8 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
 
     grad_fn = jax.value_and_grad(
         lambda p: _forward_loss(state, p, batch, num_classes, train=True,
-                                dropout_rng=dropout_rng, remat=remat),
+                                dropout_rng=dropout_rng, remat=remat,
+                                class_weights=class_weights),
         has_aux=True)
     (ce_sum, (valid_sum, logits, new_stats)), grads = grad_fn(state.params)
 
@@ -117,7 +119,8 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
 
 def make_train_step(num_classes: int, mesh: Mesh | None = None,
                     augment_fn: AugmentFn | None = None,
-                    remat: bool = False, with_metrics: bool = True) -> Callable:
+                    remat: bool = False, with_metrics: bool = True,
+                    class_weights=None) -> Callable:
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
     * no mesh: plain single-device jit.
@@ -133,7 +136,7 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
     if mesh is None:
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
-                       with_metrics=with_metrics)
+                       with_metrics=with_metrics, class_weights=class_weights)
         return jax.jit(body, donate_argnums=(0,))
 
     if SPATIAL_AXIS in mesh.axis_names:
@@ -143,7 +146,7 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
         # flip/normalize-only augment with spatial sharding.)
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
-                       with_metrics=with_metrics)
+                       with_metrics=with_metrics, class_weights=class_weights)
         bspec = NamedSharding(mesh, batch_spec(mesh))
         repl = NamedSharding(mesh, P())
         return jax.jit(
@@ -155,7 +158,7 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
 
     body = partial(_train_step_body, num_classes=num_classes,
                    augment_fn=augment_fn, axis=DATA_AXIS, remat=remat,
-                   with_metrics=with_metrics)
+                   with_metrics=with_metrics, class_weights=class_weights)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),

@@ -79,3 +79,36 @@ def test_ce_loss_mask_excludes_pixels():
     mask = jnp.asarray([[[1.0, 0.0]]])
     loss = float(softmax_cross_entropy_loss(logits, onehot, mask))
     np.testing.assert_allclose(loss, np.log(1 + np.exp(-2.0)), rtol=1e-3)
+
+
+def test_ce_loss_class_weights_manual():
+    """Weighted CE = sum(w[true_class] * ce) / valid_count (Eigen & Fergus
+    convention); weights of all-ones are bit-identical to no weights."""
+    logits = jnp.asarray([[[[2.0, 0.0], [0.0, 2.0]]]])  # [1,1,2,2]
+    # pixel 1 true class 0, pixel 2 true class 1
+    onehot = jnp.asarray([[[[1.0, 0.0], [0.0, 1.0]]]])
+    w = jnp.asarray([3.0, 0.5])
+    loss = float(softmax_cross_entropy_loss(logits, onehot,
+                                            class_weights=w))
+    ce1 = np.log(1 + np.exp(-2.0))  # both pixels: true class has logit 2
+    np.testing.assert_allclose(loss, (3.0 * ce1 + 0.5 * ce1) / 2, rtol=1e-3)
+
+    ones = softmax_cross_entropy_loss(logits, onehot,
+                                      class_weights=jnp.ones(2))
+    plain = softmax_cross_entropy_loss(logits, onehot)
+    np.testing.assert_array_equal(np.asarray(ones), np.asarray(plain))
+
+
+def test_median_frequency_weights():
+    from semanticsegmentation_tensorflow_tpu.train.loss import (
+        median_frequency_weights,
+    )
+
+    # freqs .75/.25 -> median .5 -> weights [2/3, 2]; absent class -> 0
+    w = np.asarray(median_frequency_weights([300, 100]))
+    np.testing.assert_allclose(w, [2 / 3, 2.0], rtol=1e-6)
+    # absent class -> weight 0; median is over PRESENT classes only, so
+    # the present weights are unchanged
+    w3 = np.asarray(median_frequency_weights([300, 100, 0]))
+    np.testing.assert_allclose(w3[:2], [2 / 3, 2.0], rtol=1e-6)
+    assert w3[2] == 0.0

@@ -54,6 +54,73 @@ class TestSingleDevice:
         assert last < first * 0.2, (first, last)
         assert last < 0.25
 
+    def test_lr_schedule_values(self):
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            make_lr_schedule,
+        )
+
+        # constant without warmup stays a plain float (no schedule ops in
+        # the jaxpr — the reference's constant-LR behavior, exactly)
+        assert make_lr_schedule(1e-3) == 1e-3
+        # evaluate UNDER JIT: optax's own polynomial_schedule is NaN at
+        # count == transition_steps when compiled (XLA pow(0, 0.9) -> NaN;
+        # eager gives 0) — the reason make_lr_schedule rolls its own poly.
+        s = jax.jit(make_lr_schedule(1.0, "poly", total_steps=100,
+                                     warmup_steps=10))
+        np.testing.assert_allclose(float(s(0)), 0.0, atol=1e-9)
+        np.testing.assert_allclose(float(s(10)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-7)
+        np.testing.assert_allclose(float(s(1000)), 0.0, atol=1e-7)
+        assert 0.3 < float(s(55)) < 0.7
+        c = jax.jit(make_lr_schedule(2.0, "cosine", total_steps=50))
+        np.testing.assert_allclose(float(c(0)), 2.0, rtol=1e-6)
+        np.testing.assert_allclose(float(c(50)), 0.0, atol=1e-7)
+        with pytest.raises(ValueError):
+            make_lr_schedule(1.0, "poly")           # needs total_steps
+        with pytest.raises(ValueError):
+            make_lr_schedule(1.0, "nope", total_steps=5)
+
+    def test_scheduled_optimizer_decays_to_zero_update(self):
+        """make_optimizer(schedule='poly', total_steps=N): after N steps
+        the LR has decayed to 0 and further steps leave params unchanged
+        (sgd: update = -lr * momentum, exactly zero at lr 0)."""
+        model = build_model("unet", num_classes=2, base_features=8)
+        tx = make_optimizer("sgd", 1e-2, schedule="poly", total_steps=3)
+        state = create_train_state(model, jax.random.key(0), (4, 32, 32, 3),
+                                   tx)
+        step = make_train_step(num_classes=2)
+        batch = _batch()
+        p0 = jax.tree.map(lambda x: x.copy(), state.params)
+        for _ in range(3):
+            state, _ = step(state, batch)
+        p3 = jax.tree.map(lambda x: x.copy(), state.params)
+        moved = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), p0, p3)))
+        assert moved > 0
+        state, _ = step(state, batch)  # 4th step: lr == 0
+        frozen = max(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), p3, state.params)))
+        assert frozen == 0.0
+
+    def test_class_weighted_step_trains(self):
+        """class_weights plumbs through make_train_step; all-ones weights
+        give the bit-identical loss to the unweighted step."""
+        batch = _batch()
+        s1 = _tiny_state(base_features=8)
+        s2 = _tiny_state(base_features=8)
+        plain = make_train_step(num_classes=2)
+        ones = make_train_step(num_classes=2,
+                               class_weights=jnp.ones(2, jnp.float32))
+        s1, o1 = plain(s1, batch)
+        s2, o2 = ones(s2, batch)
+        assert float(o1["loss"]) == float(o2["loss"])
+        skewed = make_train_step(num_classes=2,
+                                 class_weights=jnp.asarray([2.0, 0.5]))
+        s3 = _tiny_state(base_features=8)
+        s3, o3 = skewed(s3, batch)
+        assert np.isfinite(float(o3["loss"]))
+        assert float(o3["loss"]) != float(o1["loss"])
+
     def test_bf16_first_moment_adam_converges(self):
         """mu_dtype='bfloat16' (make_optimizer's weight-heavy-config perf
         knob, A/B'd via BENCH_OPT_KWARGS / bench_flags --opt): the first
