@@ -60,6 +60,13 @@ run 2700 07b_segnet_cm_direct env SEG_CM_IMPL=direct \
     python tools/bench_flags.py --model segnet --batch 8 \
     --ab packed_dec1 --steps 10
 
+# 7b2. DeepLab concat-free ASPP projection (kernel-sliced sum of branch
+#      convs + broadcast-add image branch; checkpoint-identical)
+run 2700 07b2_deeplab_asppsplit python tools/bench_flags.py --model deeplab \
+    --batch 8 --ab aspp_split_proj --steps 10
+run 2700 07b3_deeplab16_asppsplit python tools/bench_flags.py --model deeplab \
+    --batch 8 --ab aspp_split_proj --base '{"output_stride": 16}' --steps 10
+
 # 7c. DeepLab batch scaling probe (r3: os8 went 27->73 img/s from b4->b8;
 # os16 at b8 runs a 4x smaller grid — check whether b16 keeps scaling)
 run 2700 07c_deeplab16_b16 python tools/bench_flags.py --model deeplab \

@@ -20,11 +20,65 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from semanticsegmentation_tensorflow_tpu.models.common import (
     DEFAULT_DTYPE, upsample_bilinear,
 )
 from semanticsegmentation_tensorflow_tpu.models.vgg16 import VGG16
+
+
+class _ASPPProject(nn.Module):
+    """The ASPP 1x1 projection over the (conceptual) branch concat.
+
+    Parameter-tree-identical to ``nn.Conv(features, (1,1), name="project")``
+    applied to the concatenated branches (same path, shapes, dtype, and
+    lecun_normal/zeros init stream), so checkpoints are interchangeable and
+    ``split=False`` computes bit-exactly the round-3 concat + conv.
+
+    ``split=True`` is the perf form: a 1x1 conv over a concat is the SUM of
+    per-branch 1x1 convs with the kernel row-sliced, so the [N,H,W,5F]
+    concat (153 MB bf16 at os8/b8, written + read + regenerated in bwd)
+    never materializes; and the image-level branch — a broadcast input —
+    commutes with its projection, so it is projected at 1x1 and
+    broadcast-ADDED, deleting both the full-grid broadcast and that slice's
+    HW-sized conv FLOPs. Same math, float-summation order differs.
+    """
+
+    features: int
+    split: bool = False
+    dtype: jnp.dtype = DEFAULT_DTYPE
+
+    @nn.compact
+    def __call__(self, branches: list, img: jax.Array) -> jax.Array:
+        cin = sum(b.shape[-1] for b in branches) + img.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def conv1x1(t, ks):
+            return lax.conv_general_dilated(
+                t.astype(self.dtype), ks, (1, 1), "VALID",
+                dimension_numbers=dn)
+
+        if not self.split:
+            x = jnp.concatenate(
+                branches + [jnp.broadcast_to(img, branches[0].shape)],
+                axis=-1)
+            y = conv1x1(x, k)
+        else:
+            off = 0
+            y = None
+            for t in branches:
+                c = t.shape[-1]
+                p = conv1x1(t, k[:, :, off:off + c, :])
+                y = p if y is None else y + p
+                off += c
+            y = y + conv1x1(img, k[:, :, off:, :])  # [N,1,1,F] broadcast-add
+        return y + bias.astype(self.dtype)
 
 
 class ASPP(nn.Module):
@@ -33,6 +87,7 @@ class ASPP(nn.Module):
     features: int = 256
     rates: Sequence[int] = (6, 12, 18)
     use_bn: bool = True
+    split_proj: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
 
     @nn.compact
@@ -50,14 +105,15 @@ class ASPP(nn.Module):
                         padding="SAME", dtype=self.dtype, name=f"b_rate{r}")(x)
             branches.append(bn_relu(t, f"b_rate{r}"))
 
-        # image-level feature: global mean pooled, projected, broadcast back
+        # image-level feature: global mean pooled, projected, (BN+)relu'd
+        # at 1x1 — broadcast to the grid only inside the projection (and
+        # only on its non-split path)
         img = jnp.mean(x, axis=(1, 2), keepdims=True)
         img = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="b_image")(img)
         img = bn_relu(img, "b_image")
-        branches.append(jnp.broadcast_to(img, branches[0].shape))
 
-        x = jnp.concatenate(branches, axis=-1)
-        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="project")(x)
+        x = _ASPPProject(self.features, split=self.split_proj,
+                         dtype=self.dtype, name="project")(branches, img)
         return bn_relu(x, "project")
 
 
@@ -76,6 +132,9 @@ class DeepLabASPP(nn.Module):
     # stages (2-3 at os8, 2-4 at os16); dilated stages keep the direct
     # atrous conv (ops/pallas/winograd.py eligibility). Perf flag only.
     winograd: str | None = None
+    # concat-free ASPP projection (see _ASPPProject): same params/
+    # checkpoints, float-summation order differs. Perf A/B flag.
+    aspp_split_proj: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
     output_stride: int = 8
 
@@ -100,7 +159,8 @@ class DeepLabASPP(nn.Module):
                      winograd=self.winograd,
                      dtype=self.dtype, name="vgg16")(x, train=train)
         x = ASPP(features=self.aspp_features, rates=self.rates,
-                 use_bn=self.use_bn, dtype=self.dtype, name="aspp")(
+                 use_bn=self.use_bn, split_proj=self.aspp_split_proj,
+                 dtype=self.dtype, name="aspp")(
                      ends["conv7"], train=train)
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
         x = upsample_bilinear(x.astype(jnp.float32), self.output_stride)

@@ -90,6 +90,68 @@ def test_deeplab_output_stride_8_endpoints():
     assert ends["conv7"].shape[1:3] == (8, 8)
 
 
+def test_aspp_split_projection_matches_concat():
+    """aspp_split_proj: (a) flag OFF is bit-identical in params AND output
+    to the round-3 concat+nn.Conv formulation (checkpoint compat — same
+    "project" path, shapes, init stream); (b) flag ON matches to float
+    summation order on the same params."""
+    import flax.linen as nn
+
+    from semanticsegmentation_tensorflow_tpu.models.deeplab import ASPP
+
+    class Round3ASPP(nn.Module):
+        """The round-3 module, verbatim (concat + nn.Conv projection)."""
+        features: int = 256
+        rates: tuple = (6, 12, 18)
+        use_bn: bool = True
+        dtype: jnp.dtype = jnp.float32
+
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            def bn_relu(t, name):
+                if self.use_bn:
+                    t = nn.BatchNorm(use_running_average=not train,
+                                     dtype=self.dtype, name=f"{name}_bn")(t)
+                return nn.relu(t)
+
+            branches = [bn_relu(nn.Conv(self.features, (1, 1),
+                                        dtype=self.dtype, name="b0")(x), "b0")]
+            for r in self.rates:
+                t = nn.Conv(self.features, (3, 3), kernel_dilation=(r, r),
+                            padding="SAME", dtype=self.dtype,
+                            name=f"b_rate{r}")(x)
+                branches.append(bn_relu(t, f"b_rate{r}"))
+            img = jnp.mean(x, axis=(1, 2), keepdims=True)
+            img = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                          name="b_image")(img)
+            img = bn_relu(img, "b_image")
+            branches.append(jnp.broadcast_to(img, branches[0].shape))
+            x = jnp.concatenate(branches, axis=-1)
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                        name="project")(x)
+            return bn_relu(x, "project")
+
+    kw = dict(features=32, rates=(2, 4), use_bn=False, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 8, 12, 16)).astype(np.float32))
+
+    old = Round3ASPP(**kw)
+    vs_old = old.init(jax.random.key(1), x)
+    new_off = ASPP(split_proj=False, **kw)
+    vs_new = new_off.init(jax.random.key(1), x)
+    chex = jax.tree.map(lambda a, b: np.array_equal(np.asarray(a),
+                                                    np.asarray(b)),
+                        vs_old["params"], vs_new["params"])
+    assert all(jax.tree.leaves(chex)), "param tree/init stream diverged"
+    np.testing.assert_array_equal(
+        np.asarray(old.apply(vs_old, x)),
+        np.asarray(new_off.apply(vs_new, x)))
+
+    on = np.asarray(ASPP(split_proj=True, **kw).apply(vs_new, x))
+    off = np.asarray(new_off.apply(vs_new, x))
+    np.testing.assert_allclose(on, off, rtol=2e-5, atol=2e-6)
+
+
 def test_deeplab_output_stride_16():
     """os16 drops only stage5's pool: /16 grid, dilation 2 on conv6, and
     full-resolution logits after the bilinear upsample."""
