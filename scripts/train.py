@@ -52,6 +52,10 @@ def parse_args(argv=None):
     p.add_argument("--spatial", type=int, default=1,
                    help="shard image height across N chips (2-D data x "
                         "spatial mesh; disables random crop)")
+    p.add_argument("--loader-workers", type=int, default=0,
+                   help="decode each batch on N threads (PNG decode "
+                        "releases the GIL; scales the cold-epoch host "
+                        "pipeline with cores; 0 = inline)")
     p.add_argument("--cache-gb", type=float, default=None,
                    help="RAM budget for the decoded-image cache (LRU; "
                         "default 2.0, 0 disables). Raise it to pin a large "
@@ -170,7 +174,8 @@ def main(argv=None):
         else:
             cache_kw["cache_bytes"] = int(args.cache_gb * (1 << 30))
     loader = BatchLoader(ds, tr.batch_size, pad_multiple=stride,
-                         seed=tr.seed, mesh=mesh, **cache_kw)
+                         seed=tr.seed, mesh=mesh,
+                         workers=args.loader_workers, **cache_kw)
 
     if args.pallas_preprocess and args.spatial > 1:
         # the Pallas normalize kernel cannot be partitioned by XLA's SPMD

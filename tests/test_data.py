@@ -153,6 +153,25 @@ def test_synthetic_batch_contract():
     assert b["valid"].all()
 
 
+def test_batch_loader_threaded_decode_bit_equal(tmp_path):
+    """workers=N batches are bit-identical to workers=0 (same seed), on
+    both the cold (decode) and warm (RAM-cache) epochs, cache on and off."""
+    d = generate_synthetic_kitti(str(tmp_path / "dw"), n_train=7, n_test=0,
+                                 h=40, w=48)
+    ds = KittiRoadDataset(d, image_size=(40, 48))
+    for cache in (True, False):
+        ref = BatchLoader(ds, 2, pad_multiple=8, seed=3, cache=cache)
+        thr = BatchLoader(ds, 2, pad_multiple=8, seed=3, cache=cache,
+                          workers=4)
+        for epoch in range(2):  # epoch 2 exercises the (locked) cache path
+            a = list(ref._host_epoch())
+            b = list(thr._host_epoch())
+            assert len(a) == len(b) == 3
+            for ba, bb in zip(a, b):
+                for k in ("image", "label", "valid"):
+                    np.testing.assert_array_equal(ba[k], bb[k])
+
+
 def test_batch_loader_process_sharding(tmp_path):
     """Multi-host slicing: disjoint, exhaustive, same order on every host."""
     d = generate_synthetic_kitti(str(tmp_path / "dr"), n_train=8, n_test=0,
