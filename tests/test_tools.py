@@ -121,3 +121,100 @@ def test_strict_import_missing_entry_raises(tmp_path):
     report = {}
     load_npz_weights(vs["params"], str(path), report=report)
     assert "stage3/conv1/kernel" in report["unmatched_params"]
+
+
+def _fake_torchvision_vgg(fc=256):
+    """torchvision-style state_dict (numpy values), full conv widths."""
+    import torch
+
+    g = torch.Generator().manual_seed(0)
+    src = {}
+    widths = {0: (3, 64), 2: (64, 64), 5: (64, 128), 7: (128, 128),
+              10: (128, 256), 12: (256, 256), 14: (256, 256),
+              17: (256, 512), 19: (512, 512), 21: (512, 512),
+              24: (512, 512), 26: (512, 512), 28: (512, 512)}
+    for idx, (ci, co) in widths.items():
+        src[f"features.{idx}.weight"] = torch.randn(co, ci, 3, 3, generator=g)
+        src[f"features.{idx}.bias"] = torch.randn(co, generator=g)
+    src["classifier.0.weight"] = torch.randn(fc, 512 * 7 * 7, generator=g)
+    src["classifier.0.bias"] = torch.randn(fc, generator=g)
+    src["classifier.3.weight"] = torch.randn(fc, fc, generator=g)
+    src["classifier.3.bias"] = torch.randn(fc, generator=g)
+    src["classifier.6.weight"] = torch.randn(1000, fc, generator=g)  # skipped
+    src["classifier.6.bias"] = torch.randn(1000, generator=g)
+    return {k: v.numpy() for k, v in src.items()}
+
+
+def test_torchvision_convert_values_match_torch():
+    """The torch->HWIO transposes and the fc-as-conv flatten-order unwind
+    are verified VALUE-level against torch's own conv2d/linear."""
+    import torch
+    import torch.nn.functional as F
+    from jax import lax
+
+    src = _fake_torchvision_vgg(fc=32)
+    out = convert(src)
+    assert out["vgg16/conv6/kernel"].shape == (7, 7, 512, 32)
+    assert out["vgg16/conv7/kernel"].shape == (1, 1, 32, 32)
+    assert not any("classifier_6" in k or "head" in k for k in out)
+
+    # conv1_1: torch conv2d(NCHW, OIHW, pad 1) == lax.conv(NHWC, HWIO)
+    x = torch.randn(1, 3, 8, 10, generator=torch.Generator().manual_seed(1))
+    yt = F.conv2d(x, torch.from_numpy(src["features.0.weight"]),
+                  torch.from_numpy(src["features.0.bias"]), padding=1)
+    yj = lax.conv_general_dilated(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(out["vgg16/stage1/conv0/kernel"]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + out["vgg16/stage1/conv0/bias"]
+    np.testing.assert_allclose(np.asarray(yj),
+                               yt.numpy().transpose(0, 2, 3, 1), atol=2e-4)
+
+    # fc6: torch Linear on the NCHW-flattened 7x7 pool == VALID 7x7 conv
+    x6 = torch.randn(2, 512, 7, 7, generator=torch.Generator().manual_seed(2))
+    yt6 = F.linear(x6.flatten(1), torch.from_numpy(src["classifier.0.weight"]),
+                   torch.from_numpy(src["classifier.0.bias"]))
+    yj6 = lax.conv_general_dilated(
+        jnp.asarray(x6.numpy().transpose(0, 2, 3, 1)),
+        jnp.asarray(out["vgg16/conv6/kernel"]), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[:, 0, 0, :] + out["vgg16/conv6/bias"]
+    np.testing.assert_allclose(np.asarray(yj6), yt6.numpy(), atol=3e-3,
+                               rtol=1e-4)
+
+    # fc7: torch Linear == 1x1 conv
+    x7 = torch.randn(2, 32, generator=torch.Generator().manual_seed(3))
+    yt7 = F.linear(x7, torch.from_numpy(src["classifier.3.weight"]),
+                   torch.from_numpy(src["classifier.3.bias"]))
+    yj7 = lax.conv_general_dilated(
+        jnp.asarray(x7.numpy())[:, None, None, :],
+        jnp.asarray(out["vgg16/conv7/kernel"]), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[:, 0, 0, :] + out["vgg16/conv7/bias"]
+    np.testing.assert_allclose(np.asarray(yj7), yt7.numpy(), atol=2e-4)
+
+
+def test_torchvision_pth_roundtrip_into_model(tmp_path):
+    """.pth file -> converter CLI path -> load_npz_weights covers every
+    backbone param of the reference-width model."""
+    import torch
+
+    from tools.import_tf_vgg import _load_source
+
+    src = _fake_torchvision_vgg(fc=64)
+    pth = tmp_path / "vgg16_tv.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in src.items()}, str(pth))
+    out = convert(_load_source(str(pth)))
+    path = tmp_path / "vgg_tv.npz"
+    np.savez(path, **out)
+
+    model = VGG16(fc_features=64)
+    vs = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    report = {}
+    loaded = load_npz_weights(vs["params"], str(path), strict=True,
+                              report=report)
+    assert not report["unmatched_params"]
+    flat = flax.traverse_util.flatten_dict(loaded, sep="/")
+    np.testing.assert_array_equal(
+        np.asarray(flat["stage3/conv2/kernel"]),
+        src["features.14.weight"].transpose(2, 3, 1, 0))

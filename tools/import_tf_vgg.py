@@ -1,15 +1,24 @@
 #!/usr/bin/env python
-"""Convert TF VGG16 weights to this framework's .npz import format.
+"""Convert pretrained VGG16 weights to this framework's .npz import format.
 
 The reference's FCN script loads a pretrained TF VGG16 (SURVEY.md §2 row 9;
 BASELINE.json:7 "VGG16 backbone"). No weight blob is fetchable in this
 offline environment, so this converter is the parity hook: given either
   * a TF checkpoint / SavedModel containing standard VGG16 variables
     (conv1_1/kernel ... conv5_3/kernel, fc6, fc7), or
-  * a Keras-applications-style .h5/.npz with block1_conv1 ... block5_conv3,
+  * a Keras-applications-style .h5/.npz with block1_conv1 ... block5_conv3, or
+  * a torchvision-style .pth/.pt state_dict (features.0.weight ...,
+    classifier.0/3 — OIHW convs transposed to HWIO, the Linears reshaped
+    to fc-as-conv kernels with torch's NCHW flatten order unwound),
 it emits an .npz keyed by this framework's canonical names
 (stage1/conv0/kernel, ..., conv6/kernel, conv7/kernel — HWIO layout), which
 `models.vgg16.load_npz_weights` consumes.
+
+Normalization note for torchvision weights: torchvision normalizes
+x/255 with mean (.485,.456,.406) / std (.229,.224,.225); this framework
+normalizes raw uint8 with mean (123.68,116.779,103.939) / std
+(58.393,57.12,57.375) — the SAME transform (each is the other scaled by
+255), so no input-scale fixup is needed.
 
     python tools/import_tf_vgg.py --src vgg16_weights.npz --out vgg16_tpu.npz
 """
@@ -40,6 +49,14 @@ def _load_source(path: str) -> dict[str, np.ndarray]:
     if path.endswith(".npz"):
         blob = np.load(path)
         return {k: blob[k] for k in blob.files}
+    if path.endswith((".pth", ".pt")):
+        import torch  # CPU torch is available in this image
+
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(blob, dict) and "state_dict" in blob:
+            blob = blob["state_dict"]
+        return {k: np.asarray(v.detach().cpu().numpy())
+                for k, v in blob.items() if hasattr(v, "detach")}
     if path.endswith(".h5"):
         import h5py  # optional; present only if the env ships it
 
@@ -74,7 +91,62 @@ def _find(src: dict[str, np.ndarray], aliases: tuple[str, ...],
     return None
 
 
+# torchvision VGG16 (no-BN): nn.Sequential index -> canonical name
+_TORCHVISION_FEATURES = {
+    0: "stage1/conv0", 2: "stage1/conv1",
+    5: "stage2/conv0", 7: "stage2/conv1",
+    10: "stage3/conv0", 12: "stage3/conv1", 14: "stage3/conv2",
+    17: "stage4/conv0", 19: "stage4/conv1", 21: "stage4/conv2",
+    24: "stage5/conv0", 26: "stage5/conv1", 28: "stage5/conv2",
+}
+
+
+def _convert_torchvision(src: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """torchvision vgg16 state_dict -> canonical npz dict.
+
+    Convs: OIHW -> HWIO. classifier.0 (fc6, [out, C*7*7] with torch's
+    NCHW-flatten column order c*49+h*7+w) -> [7,7,C,out] so that a VALID
+    7x7 conv on the 7x7 pool5 grid reproduces the Linear exactly
+    (value-tested against torch in tests/test_tools.py). classifier.3
+    (fc7) -> [1,1,in,out]. classifier.6 (the 1000-way ImageNet head) has
+    no canonical target and is skipped.
+    """
+    out: dict[str, np.ndarray] = {}
+    for idx, ours in _TORCHVISION_FEATURES.items():
+        w = src.get(f"features.{idx}.weight")
+        if w is None:
+            continue
+        out[f"vgg16/{ours}/kernel"] = np.transpose(
+            np.asarray(w), (2, 3, 1, 0)).astype(np.float32)
+        b = src.get(f"features.{idx}.bias")
+        if b is not None:
+            out[f"vgg16/{ours}/bias"] = np.asarray(b).astype(np.float32)
+    w6 = src.get("classifier.0.weight")
+    if w6 is not None:
+        o, i = np.asarray(w6).shape
+        c = i // 49
+        if c * 49 != i:
+            raise ValueError(f"classifier.0 in_features {i} is not C*7*7")
+        out["vgg16/conv6/kernel"] = (np.asarray(w6).reshape(o, c, 7, 7)
+                                     .transpose(2, 3, 1, 0)
+                                     .astype(np.float32))
+    w7 = src.get("classifier.3.weight")
+    if w7 is not None:
+        w7 = np.asarray(w7)
+        out["vgg16/conv7/kernel"] = (w7.T.reshape(1, 1, *w7.T.shape)
+                                     .astype(np.float32))
+    for tidx, ours in ((0, "conv6"), (3, "conv7")):
+        b = src.get(f"classifier.{tidx}.bias")
+        if b is not None:
+            out[f"vgg16/{ours}/bias"] = np.asarray(b).astype(np.float32)
+    return out
+
+
 def convert(src: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    if any(k.startswith("features.") and k.endswith(".weight") for k in src):
+        tv = _convert_torchvision(src)
+        if tv:
+            return tv
     out: dict[str, np.ndarray] = {}
     for ours, aliases in _ALIASES.items():
         for kind in ("kernel", "bias"):
