@@ -39,11 +39,26 @@ def main(argv=None):
                    help="shard eval batches over all devices (1-D data "
                         "mesh, psum'd confusion matrix) — metrics exact "
                         "incl. the wrap-padded final batch (valid=0 rows)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process (pod) eval: join the jax.distributed "
+                        "group first (implies --mesh; see scripts/train.py)")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
     from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
     setup_runtime()
+
+    if args.distributed:
+        from semanticsegmentation_tensorflow_tpu.parallel.launch import (
+            initialize_distributed,
+        )
+        proc, nproc = initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id)
+        args.mesh = True
+        print(f"distributed: process {proc}/{nproc}")
 
     from semanticsegmentation_tensorflow_tpu.config import (
         get_preset, parse_model_kw,
@@ -73,6 +88,11 @@ def main(argv=None):
 
     state = create_abstract_state(model, (args.batch_size, h, w, 3),
                                   make_optimizer("adam", 1e-4))
+    if args.distributed:
+        # align before orbax's init broadcast (30 s gloo context window;
+        # see scripts/train.py)
+        from semanticsegmentation_tensorflow_tpu.parallel.launch import barrier
+        barrier("pre_checkpoint_manager")
     ckpt = CheckpointManager(args.checkpoint_dir)
     state = ckpt.restore(state)
     print(f"evaluating checkpoint step {int(state.step)}")

@@ -31,6 +31,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated synthetic KITTI fixtures")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--image-size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="override the preset's pre-pad resize size")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--lr-schedule", default=None,
@@ -46,6 +49,16 @@ def parse_args(argv=None):
                         "median_freq/freq")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-process (pod) run: join the jax.distributed "
+                        "group before touching devices. Coordinator/size/"
+                        "rank come from --coordinator/--num-processes/"
+                        "--process-id, SEG_* env vars, or TPU-pod "
+                        "auto-detection (parallel/launch.py)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (process 0's host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--pallas-preprocess", action="store_true",
                    help="use the Pallas preprocess kernel for the "
                         "normalize leg (bit-identical to the XLA path)")
@@ -82,6 +95,19 @@ def main(argv=None):
     # after argparse so --help / usage errors never wait on the TPU tunnel
     from semanticsegmentation_tensorflow_tpu.utils.runtime import setup_runtime
     setup_runtime()
+
+    if args.distributed:
+        from semanticsegmentation_tensorflow_tpu.parallel.launch import (
+            initialize_distributed, is_primary,
+        )
+        proc, nproc = initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"distributed: process {proc}/{nproc}, "
+              f"{len(jax.local_devices())} local of "
+              f"{len(jax.devices())} global devices")
+    else:
+        def is_primary() -> bool:
+            return True
 
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.data import (
@@ -122,6 +148,10 @@ def main(argv=None):
         tr = dataclasses.replace(tr, seed=args.seed)
     cfg = dataclasses.replace(cfg, train=tr)
     dc = cfg.data
+    if args.image_size is not None:
+        dc = dataclasses.replace(dc, image_size=tuple(args.image_size),
+                                 crop_size=None)
+        cfg = dataclasses.replace(cfg, data=dc)
 
     data_dir = args.data_dir or dc.data_dir
     if args.synthetic:
@@ -236,6 +266,13 @@ def main(argv=None):
               + (f"; unmatched backbone params: "
                  f"{report['unmatched_params']}"
                  if report["unmatched_params"] else ""))
+    if args.distributed:
+        # align processes BEFORE the first cross-process collective (the
+        # orbax manager init broadcast): XLA's gloo context init has a
+        # hard 30 s rendezvous window, and the work above (dataset scan,
+        # state-init compile) can drift processes past it
+        from semanticsegmentation_tensorflow_tpu.parallel.launch import barrier
+        barrier("pre_checkpoint_manager")
     ckpt = CheckpointManager(tr.checkpoint_dir)
     if args.resume:
         state = ckpt.restore(state)
@@ -246,9 +283,15 @@ def main(argv=None):
     from semanticsegmentation_tensorflow_tpu.train.loop import LoopHooks
     from semanticsegmentation_tensorflow_tpu.utils.logging import MetricsLogger
 
-    logger = MetricsLogger(os.path.join(tr.checkpoint_dir, "logs"))
+    # pod runs: every process executes the loop (collectives require it)
+    # but only process 0 writes logs/prints — N processes appending to one
+    # shared-FS JSONL interleave corruptly
+    logger = (MetricsLogger(os.path.join(tr.checkpoint_dir, "logs"))
+              if is_primary() else None)
 
     def log_step(step, m):
+        if logger is None:
+            return
         logger.log(step, m)
         print(f"step {step}: " + " ".join(
             f"{k}={float(v):.4f}" for k, v in m.items()))
@@ -261,7 +304,7 @@ def main(argv=None):
             s.get("step", epoch),
             {f"epoch/{k}": v for k, v in s.items()
              if (not hasattr(v, "ndim") or getattr(v, "ndim", 1) == 0)
-             and k != "step"}),
+             and k != "step"}) if logger is not None else None,
     )
 
     step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug,
@@ -272,7 +315,8 @@ def main(argv=None):
         checkpoint_every=tr.checkpoint_every, ckpt=ckpt, hooks=hooks)
     print("final:", {k: (v.tolist() if hasattr(v, "tolist") else v)
                      for k, v in summary.items()})
-    logger.close()
+    if logger is not None:
+        logger.close()
     ckpt.close()
     return 0
 

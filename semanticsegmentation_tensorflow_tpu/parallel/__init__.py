@@ -16,3 +16,9 @@ from semanticsegmentation_tensorflow_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     SPATIAL_AXIS,
 )
+from semanticsegmentation_tensorflow_tpu.parallel.launch import (  # noqa: F401
+    initialize_distributed,
+    is_primary,
+    primary_print,
+    barrier,
+)

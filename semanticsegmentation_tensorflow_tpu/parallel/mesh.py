@@ -71,6 +71,24 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/state) across the mesh."""
+    """Replicate a pytree (params/state) across the mesh.
+
+    Multi-process (pods): device_put rejects shardings spanning
+    non-addressable devices; every process holds the same full value
+    (same seed / same restored checkpoint), so the global replicated
+    array is assembled from the per-process copies."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def _rep(x):
+            if (isinstance(x, jax.Array)
+                    and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)):
+                # typed PRNG keys: assemble the raw key data, re-wrap
+                impl = str(jax.random.key_impl(x))
+                g = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(jax.random.key_data(x)))
+                return jax.random.wrap_key_data(g, impl=impl)
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+
+        return jax.tree.map(_rep, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -18,11 +18,23 @@ from semanticsegmentation_tensorflow_tpu.train.state import TrainState
 
 
 def _encode_impl(rng) -> "jax.Array":
-    """PRNG impl name ('threefry2x32', 'rbg', ...) as a uint8 byte array."""
+    """PRNG impl name ('threefry2x32', 'rbg', ...) as a uint8 byte array.
+
+    Under a multi-process launch this fresh array must be a GLOBAL
+    fully-replicated array (orbax rejects host-local arrays in multihost
+    serialization); every process computes the same bytes, so the
+    replicated assembly is trivially consistent."""
     import numpy as np
 
     name = str(jax.random.key_impl(rng)).encode()
-    return jax.numpy.asarray(np.frombuffer(name, dtype=np.uint8))
+    data = np.frombuffer(name, dtype=np.uint8)
+    if jax.process_count() > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.devices()), ("_ckpt",))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, PartitionSpec()), data)
+    return jax.numpy.asarray(data)
 
 
 # impl names jax.random.key accepts; used to resolve an abstract key's
@@ -76,9 +88,13 @@ def _abstract_with_sharding(leaf):
         return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
                                     sharding=leaf.sharding)
     if isinstance(leaf, jax.ShapeDtypeStruct) and leaf.sharding is None:
+        # local_devices()[0], not devices()[0]: under multi-process
+        # (pod) launch the global list leads with process 0's device,
+        # which other processes cannot device_put to
         return jax.ShapeDtypeStruct(
             leaf.shape, leaf.dtype,
-            sharding=jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+            sharding=jax.sharding.SingleDeviceSharding(
+                jax.local_devices()[0]))
     return leaf
 
 
