@@ -47,6 +47,11 @@ def parse_args(argv=None):
                    help="median-frequency class balancing (SegNet paper): "
                         "scan train GTs once, weight each class's loss by "
                         "median_freq/freq")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into k sequential microbatches, "
+                        "accumulate grads, one optimizer update — effective "
+                        "batch without the activation memory (composes with "
+                        "--remat and the mesh modes)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
     p.add_argument("--distributed", action="store_true",
@@ -308,7 +313,8 @@ def main(argv=None):
     )
 
     step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug,
-                              remat=tr.remat, class_weights=class_weights)
+                              remat=tr.remat, class_weights=class_weights,
+                              grad_accum=args.grad_accum)
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,

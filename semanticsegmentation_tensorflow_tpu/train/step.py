@@ -70,24 +70,92 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
     return ce_sum, (valid_sum, logits, new_stats)
 
 
+def _accum_grads(state: TrainState, batch: dict, *, num_classes: int,
+                 grad_accum: int, step_rng: jax.Array, remat: bool,
+                 with_metrics: bool, class_weights,
+                 augment_fn: AugmentFn | None):
+    """Microbatched fwd+bwd: split the per-device batch into ``grad_accum``
+    sequential microbatches via ``lax.scan``, summing the UN-normalized CE,
+    valid count, gradients, and confusion matrix.
+
+    Because the loss is kept in sum form until the single final divide, the
+    accumulated result equals the full-batch computation up to float
+    summation order (same trick that makes mesh == single-device exact) —
+    so effective batch is decoupled from live-activation memory: residuals
+    exist for one microbatch at a time, grads for one full set. BN running
+    stats thread through the scan carry (microbatch i+1 sees i's stats),
+    i.e. exactly k sequential forward passes. Augmentation/dropout RNG is
+    folded with the microbatch index so draws stay decorrelated.
+    """
+    k = grad_accum
+    n = jax.tree.leaves(batch)[0].shape[0]
+    if n % k != 0:
+        raise ValueError(f"grad_accum={k} must divide the per-device "
+                         f"batch {n}")
+    micro = jax.tree.map(lambda x: x.reshape((k, n // k) + x.shape[1:]), batch)
+
+    zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                              state.params)
+    cm0 = (jnp.zeros((num_classes, num_classes), jnp.int32)
+           if with_metrics else None)
+
+    def body(carry, xs):
+        i, mb = xs
+        ce_a, vs_a, g_a, stats, cm_a = carry
+        rng_i = jax.random.fold_in(step_rng, i)
+        aug_rng, dropout_rng = jax.random.split(rng_i)
+        if augment_fn is not None:
+            mb = augment_fn(aug_rng, mb)
+        carry_state = state.replace(batch_stats=stats)
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(carry_state, p, mb, num_classes,
+                                    train=True, dropout_rng=dropout_rng,
+                                    remat=remat,
+                                    class_weights=class_weights),
+            has_aux=True)
+        (ce, (vs, logits, new_stats)), g = grad_fn(state.params)
+        if with_metrics:
+            preds = jnp.argmax(logits, axis=-1)
+            cm_a = cm_a + confusion_matrix(mb["label"], preds, num_classes,
+                                           mb.get("valid"))
+        g_a = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_a, g)
+        return (ce_a + ce.astype(jnp.float32),
+                vs_a + vs.astype(jnp.float32), g_a, new_stats, cm_a), None
+
+    (ce_sum, valid_sum, grads, new_stats, cm), _ = lax.scan(
+        body,
+        (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32), zero_grads,
+         state.batch_stats, cm0),
+        (jnp.arange(k), micro))
+    return ce_sum, valid_sum, grads, new_stats, cm
+
+
 def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
                      augment_fn: AugmentFn | None, axis: str | None,
                      remat: bool = False, with_metrics: bool = True,
-                     class_weights=None):
+                     class_weights=None, grad_accum: int = 1):
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis is not None:
         # decorrelate augmentation/dropout across shards
         step_rng = jax.random.fold_in(step_rng, lax.axis_index(axis))
-    aug_rng, dropout_rng = jax.random.split(step_rng)
-    if augment_fn is not None:
-        batch = augment_fn(aug_rng, batch)
 
-    grad_fn = jax.value_and_grad(
-        lambda p: _forward_loss(state, p, batch, num_classes, train=True,
-                                dropout_rng=dropout_rng, remat=remat,
-                                class_weights=class_weights),
-        has_aux=True)
-    (ce_sum, (valid_sum, logits, new_stats)), grads = grad_fn(state.params)
+    if grad_accum > 1:
+        ce_sum, valid_sum, grads, new_stats, cm = _accum_grads(
+            state, batch, num_classes=num_classes, grad_accum=grad_accum,
+            step_rng=step_rng, remat=remat, with_metrics=with_metrics,
+            class_weights=class_weights, augment_fn=augment_fn)
+        logits = None
+    else:
+        aug_rng, dropout_rng = jax.random.split(step_rng)
+        if augment_fn is not None:
+            batch = augment_fn(aug_rng, batch)
+
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(state, p, batch, num_classes, train=True,
+                                    dropout_rng=dropout_rng, remat=remat,
+                                    class_weights=class_weights),
+            has_aux=True)
+        (ce_sum, (valid_sum, logits, new_stats)), grads = grad_fn(state.params)
 
     # Exact global masked mean: psum the CE sum, the grad of the CE sum, and
     # the valid-pixel count, then divide — identical to single-device math
@@ -108,9 +176,10 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
         # train-time confusion matrix (mIoU/pixel-acc). Optional: the
         # reference's train loop prints loss only (SURVEY.md §3.1); the
         # full-res argmax + count costs ~2-3 ms/step at KITTI batch 16.
-        preds = jnp.argmax(logits, axis=-1)
-        cm = confusion_matrix(batch["label"], preds, num_classes,
-                              batch.get("valid"))
+        if grad_accum <= 1:
+            preds = jnp.argmax(logits, axis=-1)
+            cm = confusion_matrix(batch["label"], preds, num_classes,
+                                  batch.get("valid"))
         if axis is not None:
             cm = lax.psum(cm, axis)
         out["cm"] = cm
@@ -120,7 +189,7 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
 def make_train_step(num_classes: int, mesh: Mesh | None = None,
                     augment_fn: AugmentFn | None = None,
                     remat: bool = False, with_metrics: bool = True,
-                    class_weights=None) -> Callable:
+                    class_weights=None, grad_accum: int = 1) -> Callable:
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
     * no mesh: plain single-device jit.
@@ -131,12 +200,20 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
       SPMD partitioner inserts the conv halo exchanges and the grad/metric
       reductions. For activations too large for one chip's HBM.
 
+    ``grad_accum=k``: split each (per-device) batch into k sequential
+    microbatches and accumulate sum-form loss/grads before the single
+    optimizer update — effective batch without the activation memory
+    (composes with ``remat``, which shrinks the per-MICRObatch residuals
+    further, and with both mesh modes: accumulation is per-shard, the
+    psum/pmean reduction happens once on the accumulated sums).
+
     ``state`` is donated in every case.
     """
     if mesh is None:
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
-                       with_metrics=with_metrics, class_weights=class_weights)
+                       with_metrics=with_metrics, class_weights=class_weights,
+                       grad_accum=grad_accum)
         return jax.jit(body, donate_argnums=(0,))
 
     if SPATIAL_AXIS in mesh.axis_names:
@@ -146,7 +223,8 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
         # flip/normalize-only augment with spatial sharding.)
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
-                       with_metrics=with_metrics, class_weights=class_weights)
+                       with_metrics=with_metrics, class_weights=class_weights,
+                       grad_accum=grad_accum)
         bspec = NamedSharding(mesh, batch_spec(mesh))
         repl = NamedSharding(mesh, P())
         return jax.jit(
@@ -158,7 +236,8 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
 
     body = partial(_train_step_body, num_classes=num_classes,
                    augment_fn=augment_fn, axis=DATA_AXIS, remat=remat,
-                   with_metrics=with_metrics, class_weights=class_weights)
+                   with_metrics=with_metrics, class_weights=class_weights,
+                   grad_accum=grad_accum)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),

@@ -498,3 +498,121 @@ def test_spatial_sharded_pallas_segnet_stage1_matches_single_device():
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+class TestGradAccum:
+    """grad_accum=k microbatching (train/step.py:_accum_grads).
+
+    The sum-form loss means accumulation differs from the full-batch step
+    only by float summation order — same invariant the mesh tests assert.
+    Dropout-free models here: with dropout, each microbatch deliberately
+    draws an independent mask (fold_in on the microbatch index), so exact
+    equality is only defined without it.
+    """
+
+    def test_accum_matches_full_batch(self):
+        batch = _batch(8)
+        kw = dict(base_features=8, dtype=jnp.float32)
+
+        sa = _tiny_state(seed=0, shape=(8, 32, 32, 3), opt="sgd", **kw)
+        step_a = make_train_step(num_classes=2)
+        sa, out_a = step_a(sa, batch)
+
+        sb = _tiny_state(seed=0, shape=(8, 32, 32, 3), opt="sgd", **kw)
+        step_b = make_train_step(num_classes=2, grad_accum=4)
+        sb, out_b = step_b(sb, batch)
+
+        np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_a["cm"]),
+                                      np.asarray(out_b["cm"]))
+        for a, b in zip(jax.tree.leaves(sa.params),
+                        jax.tree.leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_accum_sharded_matches_single_device(self):
+        """grad_accum composes with the 1-D mesh: per-shard accumulation,
+        one psum on the accumulated sums."""
+        mesh = make_mesh()
+        batch = _batch(16)
+        kw = dict(base_features=8, dtype=jnp.float32)
+
+        sa = _tiny_state(seed=0, shape=(16, 32, 32, 3), opt="sgd", **kw)
+        step_a = make_train_step(num_classes=2, grad_accum=2)
+        sa, out_a = step_a(sa, batch)
+
+        sb = _tiny_state(seed=0, shape=(16, 32, 32, 3), opt="sgd", **kw)
+        sb = replicate(sb, mesh)
+        step_b = make_train_step(num_classes=2, mesh=mesh, grad_accum=2)
+        sb, out_b = step_b(sb, shard_batch(batch, mesh))
+
+        np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_a["cm"]),
+                                      np.asarray(out_b["cm"]))
+        for a, b in zip(jax.tree.leaves(sa.params),
+                        jax.tree.leaves(sb.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_accum_with_bn_threads_stats(self):
+        """BN running stats under accumulation == k sequential small steps'
+        stats chain (microbatch i+1 sees i's stats)."""
+        kw = dict(name="segnet", width_mult=0.125, use_bn=True)
+        batch = _batch(4)
+        micro = {k: v[2:] for k, v in batch.items()}
+
+        sa = _tiny_state(seed=0, shape=(4, 32, 32, 3), **kw)
+        step_a = make_train_step(num_classes=2, grad_accum=2)
+        sa, out_a = step_a(sa, batch)
+        assert np.isfinite(float(out_a["loss"]))
+
+        # reference stats chain: forward the two microbatches sequentially
+        # (params frozen — accumulation applies one update at the END)
+        sb = _tiny_state(seed=0, shape=(4, 32, 32, 3), **kw)
+        stats = sb.batch_stats
+        for mb in ({k: v[:2] for k, v in batch.items()}, micro):
+            _, mut = sb.apply_fn({"params": sb.params, "batch_stats": stats},
+                                 mb["image"], train=True,
+                                 mutable=["batch_stats"])
+            stats = mut["batch_stats"]
+        # The eager reference chain and the jitted scan differ by bf16-
+        # policy rounding order (~1e-4 on these tiny stats), so the check
+        # is comparative: the accumulated stats must sit on the SEQUENTIAL
+        # chain, far closer to it than to a single full-batch update
+        # (which applies the momentum decay once instead of twice).
+        _, mut = sb.apply_fn(
+            {"params": sb.params, "batch_stats": sb.batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        acc = jax.tree.leaves(sa.batch_stats)
+        chain = jax.tree.leaves(stats)
+        one_shot = jax.tree.leaves(mut["batch_stats"])
+        d_chain = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                      for a, b in zip(acc, chain))
+        d_one = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                    for a, b in zip(acc, one_shot))
+        # measured: d_chain ~1.1e-3 (bf16 noise), d_one ~2e-2 (the extra
+        # momentum decay) — 17x apart
+        assert d_chain < 3e-3, d_chain
+        assert d_chain < 0.2 * d_one, (d_chain, d_one)
+
+    def test_accum_with_augment_and_dropout_runs(self):
+        aug = make_augment_fn((127.5, 127.5, 127.5), (58.0, 58.0, 58.0))
+        state = _tiny_state(name="fcn8s", shape=(4, 32, 32, 3),
+                            fc_features=64, width_mult=0.125,
+                            dropout_rate=0.5)
+        step = make_train_step(num_classes=2, augment_fn=aug, grad_accum=2)
+        b = synthetic_batch(4, 32, 32)
+        batch = {"image": jnp.asarray((b["image"] * 58.0 + 127.5).astype(np.uint8)),
+                 "label": jnp.asarray(b["label"]),
+                 "valid": jnp.asarray(b["valid"])}
+        state, out = step(state, batch)
+        assert np.isfinite(float(out["loss"]))
+        assert int(state.step) == 1
+
+    def test_accum_rejects_indivisible_batch(self):
+        state = _tiny_state(base_features=8)
+        step = make_train_step(num_classes=2, grad_accum=3)
+        with pytest.raises(ValueError, match="grad_accum"):
+            step(state, _batch(4))
