@@ -30,6 +30,13 @@ import time
 
 
 def build_predictor(args):
+    if args.artifact:
+        # AOT path: a .segx file (scripts/export_model.py) — no model
+        # code, no checkpoint template, no re-trace; same request surface
+        from semanticsegmentation_tensorflow_tpu.infer import (
+            ExportedPredictor,
+        )
+        return ExportedPredictor(args.artifact)
     from semanticsegmentation_tensorflow_tpu.config import (
         get_preset, parse_model_kw,
     )
@@ -143,6 +150,11 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default="fcn8s_kitti")
     p.add_argument("--model", default=None)
     p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--artifact", default=None,
+                   help="serve from an AOT .segx artifact "
+                        "(scripts/export_model.py) instead of "
+                        "preset+checkpoint — ignores --preset/--model/"
+                        "--checkpoint-dir/--alpha")
     p.add_argument("--model-kw", default=None)
     p.add_argument("--alpha", type=float, default=0.5)
     p.add_argument("--host", default="127.0.0.1")

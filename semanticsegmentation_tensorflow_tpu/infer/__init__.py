@@ -4,3 +4,7 @@ from semanticsegmentation_tensorflow_tpu.infer.predict import (  # noqa: F401
     Predictor,
     save_inference_samples,
 )
+from semanticsegmentation_tensorflow_tpu.infer.export import (  # noqa: F401
+    ExportedPredictor,
+    export_model,
+)

@@ -75,3 +75,44 @@ def test_serve_endpoints():
         conn.close()
     finally:
         server.shutdown()
+
+
+def test_serve_from_artifact(tmp_path):
+    """scripts/serve.py --artifact: the AOT .segx path serves the same
+    endpoints with no model code or checkpoint."""
+    from http.server import HTTPServer
+    import http.client
+
+    from PIL import Image
+
+    from scripts.serve import make_handler
+    from semanticsegmentation_tensorflow_tpu.infer import (
+        ExportedPredictor, export_model,
+    )
+
+    model = UNet(num_classes=2, base_features=8)
+    vs = model.init(jax.random.key(0), np.zeros((1, 32, 48, 3), np.float32),
+                    train=False)
+    path = str(tmp_path / "m.segx")
+    export_model(model, vs, (30, 46), path, platforms=("cpu",))
+
+    pred = ExportedPredictor(path)
+    stats = {"requests": 0, "last_ms": None}
+    server = HTTPServer(("127.0.0.1", 0), make_handler(pred, stats))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        rng = np.random.default_rng(0)
+        img = Image.fromarray(rng.integers(0, 256, (30, 46, 3),
+                                           np.uint8).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        conn.request("POST", "/segment", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200
+        out = Image.open(io.BytesIO(r.read()))
+        assert out.size == (46, 30) and out.mode == "RGB"
+        conn.close()
+    finally:
+        server.shutdown()
