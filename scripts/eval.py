@@ -39,6 +39,9 @@ def main(argv=None):
                    help="shard eval batches over all devices (1-D data "
                         "mesh, psum'd confusion matrix) — metrics exact "
                         "incl. the wrap-padded final batch (valid=0 rows)")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the EMA params (checkpoint must be "
+                        "trained with --ema-decay)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-process (pod) eval: join the jax.distributed "
                         "group first (implies --mesh; see scripts/train.py)")
@@ -87,7 +90,8 @@ def main(argv=None):
     h, w = padded_input_hw(model, dc.image_size)
 
     state = create_abstract_state(model, (args.batch_size, h, w, 3),
-                                  make_optimizer("adam", 1e-4))
+                                  make_optimizer("adam", 1e-4),
+                                  ema=args.ema)
     if args.distributed:
         # align before orbax's init broadcast (30 s gloo context window;
         # see scripts/train.py)
@@ -95,7 +99,10 @@ def main(argv=None):
         barrier("pre_checkpoint_manager")
     ckpt = CheckpointManager(args.checkpoint_dir)
     state = ckpt.restore(state)
-    print(f"evaluating checkpoint step {int(state.step)}")
+    if args.ema:
+        state = state.replace(params=state.eval_params(True))
+    print(f"evaluating checkpoint step {int(state.step)}"
+          + (" (EMA params)" if args.ema else ""))
 
     split = args.split or ("val" if dc.dataset == "cityscapes" else "train")
     ds = build_dataset(dc.dataset, args.data_dir or dc.data_dir,

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None,
                    help="pin a fixed batch (default: symbolic batch — one "
                         "artifact serves any batch size)")
+    p.add_argument("--ema", action="store_true",
+                   help="export the EMA params (checkpoint must be trained "
+                        "with --ema-decay)")
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
@@ -65,9 +68,10 @@ def main(argv=None):
                                **parse_model_kw(args.model_kw)))
     h, w = padded_input_hw(model, dc.image_size)
     state = create_abstract_state(model, (1, h, w, 3),
-                                  make_optimizer("adam", 1e-4))
+                                  make_optimizer("adam", 1e-4),
+                                  ema=args.ema)
     state = CheckpointManager(args.checkpoint_dir).restore(state)
-    variables = {"params": state.params}
+    variables = {"params": state.eval_params(args.ema)}
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 

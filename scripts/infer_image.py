@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--out", default="overlay.png")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--ema", action="store_true",
+                   help="use the EMA params (checkpoint must be trained "
+                        "with --ema-decay)")
     p.add_argument("--model-kw", default=None,
                    help="comma-separated model kwargs (k=v) — must match "
                         "the flags the checkpoint was trained with")
@@ -69,8 +72,9 @@ def main(argv=None):
         state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     else:
         # abstract template: restore without paying a throwaway init compile
-        state = ckpt.restore(create_abstract_state(model, (1, h, w, 3), tx))
-    variables = {"params": state.params}
+        state = ckpt.restore(create_abstract_state(model, (1, h, w, 3), tx,
+                                                   ema=args.ema))
+    variables = {"params": state.eval_params(args.ema)}
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 

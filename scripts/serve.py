@@ -61,11 +61,12 @@ def build_predictor(args):
                                **parse_model_kw(args.model_kw)))
     h, w = padded_input_hw(model, dc.image_size)
     state = create_abstract_state(model, (1, h, w, 3),
-                                  make_optimizer("adam", 1e-4))
+                                  make_optimizer("adam", 1e-4),
+                                  ema=args.ema)
     ckpt = CheckpointManager(args.checkpoint_dir)
     state = ckpt.restore(state)
     ckpt.close()
-    variables = {"params": state.params}
+    variables = {"params": state.eval_params(args.ema)}
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
     return Predictor(model, variables, dc.image_size, mean=dc.mean,
@@ -157,6 +158,9 @@ def main(argv=None) -> int:
                         "--checkpoint-dir/--alpha")
     p.add_argument("--model-kw", default=None)
     p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--ema", action="store_true",
+                   help="serve the EMA params (checkpoint must be trained "
+                        "with --ema-decay)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,

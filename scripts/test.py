@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--model-kw", default=None,
                    help="comma-separated model kwargs (k=v) — must match "
                         "the flags the checkpoint was trained with")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the EMA params (checkpoint must be trained "
+                        "with --ema-decay)")
     p.add_argument("--mesh", action="store_true",
                    help="shard each inference batch over all devices "
                         "(1-D data mesh; params replicated) — multi-chip "
@@ -65,10 +68,11 @@ def main(argv=None):
     )
     h, w = padded_input_hw(model, dc.image_size)
 
-    state = create_abstract_state(model, (1, h, w, 3), make_optimizer("adam", 1e-4))
+    state = create_abstract_state(model, (1, h, w, 3),
+                                  make_optimizer("adam", 1e-4), ema=args.ema)
     ckpt = CheckpointManager(args.checkpoint_dir)
     state = ckpt.restore(state)
-    variables = {"params": state.params}
+    variables = {"params": state.eval_params(args.ema)}
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 

@@ -47,6 +47,10 @@ def parse_args(argv=None):
                    help="median-frequency class balancing (SegNet paper): "
                         "scan train GTs once, weight each class's loss by "
                         "median_freq/freq")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track an exponential moving average of params "
+                        "(e.g. 0.999) for eval/serving; restore tools then "
+                        "need --ema to match the checkpoint structure")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="split each batch into k sequential microbatches, "
                         "accumulate grads, one optimizer update — effective "
@@ -257,7 +261,8 @@ def main(argv=None):
               + " ".join(f"{float(wt):.3f}" for wt in class_weights))
 
     state = create_train_state(model, jax.random.key(tr.seed),
-                               (tr.batch_size, h, w, 3), tx)
+                               (tr.batch_size, h, w, 3), tx,
+                               ema_decay=args.ema_decay)
     if args.vgg_weights:
         from semanticsegmentation_tensorflow_tpu.models.vgg16 import (
             load_npz_weights,

@@ -119,6 +119,10 @@ class CheckpointManager:
                    # impl name as uint8 bytes — orbax StandardSave rejects
                    # plain strings
                    "rng_impl": _encode_impl(state.rng)}
+        if jax.tree.leaves(state.ema_params):
+            # only when tracked — keeps the layout of non-EMA checkpoints
+            # (and their templates) unchanged
+            payload["ema_params"] = state.ema_params
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         if wait:
             self._mgr.wait_until_finished()
@@ -145,6 +149,13 @@ class CheckpointManager:
         except Exception:
             # a legacy typed-key leaf can make metadata parsing itself fail
             meta_keys = None
+        if jax.tree.leaves(state.ema_params):
+            if meta_keys is not None and "ema_params" not in meta_keys:
+                raise ValueError(
+                    "EMA params requested (template tracks them) but the "
+                    f"checkpoint at step {step} holds none — it was not "
+                    "trained with --ema-decay")
+            template["ema_params"] = state.ema_params
 
         def _meta_sds(key):
             md = self._mgr.item_metadata(step)[key]
@@ -182,6 +193,23 @@ class CheckpointManager:
                 try:
                     restored = _restore(dict(template, rng=state.rng))
                 except Exception:
+                    # with metadata unavailable, an EMA template against a
+                    # non-EMA checkpoint lands here too — probe by retrying
+                    # WITHOUT ema_params so the user gets the real story
+                    # instead of an orbax structure dump
+                    if "ema_params" in template:
+                        t2 = {k: v for k, v in template.items()
+                              if k != "ema_params"}
+                        try:
+                            _restore(dict(t2, rng_data=data,
+                                          rng_impl=impl_u8))
+                        except Exception:
+                            raise first_err from None
+                        raise ValueError(
+                            "EMA params requested (template tracks them) "
+                            f"but the checkpoint at step {step} holds none "
+                            "— it was not trained with --ema-decay"
+                        ) from None
                     raise first_err from None
         if "rng_data" in restored:
             import numpy as np

@@ -24,12 +24,29 @@ class TrainState(flax.struct.PyTreeNode):
     rng: jax.Array            # per-step dropout/augment key
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # Exponential moving average of params for eval/serving (Polyak
+    # averaging — smooths the last-step noise of constant-LR Adam runs).
+    # {} when disabled so old checkpoints/templates keep their structure;
+    # the decay is STATIC (baked into the step's XLA program).
+    ema_params: Any = flax.struct.field(default_factory=dict)
+    ema_decay: float = flax.struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads: Any, **changes: Any) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        if self.ema_decay and jax.tree.leaves(self.ema_params):
+            d = self.ema_decay
+            changes.setdefault("ema_params", jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                self.ema_params, new_params))
         return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt_state, **changes)
+
+    def eval_params(self, use_ema: bool = True) -> Any:
+        """The params to serve/eval with: EMA when tracked, else raw."""
+        if use_ema and jax.tree.leaves(self.ema_params):
+            return self.ema_params
+        return self.params
 
 
 def make_lr_schedule(learning_rate: float, schedule: str = "constant",
@@ -120,6 +137,7 @@ def create_train_state(
     input_shape: tuple[int, int, int, int],
     tx: optax.GradientTransformation,
     rng_impl: str | None = "rbg",
+    ema_decay: float = 0.0,
 ) -> TrainState:
     init_rng, state_rng = jax.random.split(rng)
     if rng_impl is not None:
@@ -143,6 +161,8 @@ def create_train_state(
         rng=state_rng,
         apply_fn=model.apply,
         tx=tx,
+        ema_params=(jax.tree.map(jnp.copy, params) if ema_decay else {}),
+        ema_decay=ema_decay,
     )
 
 
@@ -150,14 +170,18 @@ def create_abstract_state(
     model: nn.Module,
     input_shape: tuple[int, int, int, int],
     tx: optax.GradientTransformation,
+    ema: bool = False,
 ) -> TrainState:
     """Shape-only TrainState (jax.eval_shape — no device compile, no init).
 
     Use as the restore template in inference/eval paths: building the real
     init costs a full model compile (~85 s for FCN-8s on a tunneled v5e)
     that is thrown away the moment the checkpoint overwrites it.
+    ``ema=True`` when restoring a checkpoint trained with ``--ema-decay``
+    (the template's tree structure must match the saved one).
     """
     def _init():
-        return create_train_state(model, jax.random.key(0), input_shape, tx)
+        return create_train_state(model, jax.random.key(0), input_shape, tx,
+                                  ema_decay=0.999 if ema else 0.0)
 
     return jax.eval_shape(_init)
