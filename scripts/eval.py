@@ -42,6 +42,13 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="evaluate the EMA params (checkpoint must be "
                         "trained with --ema-decay)")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation: horizontal-flip "
+                        "probability averaging (add scales with "
+                        "--tta-scales)")
+    p.add_argument("--tta-scales", default=None,
+                   help="comma-separated multi-scale TTA factors, e.g. "
+                        "0.75,1.0,1.25 (implies --tta)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-process (pod) eval: join the jax.distributed "
                         "group first (implies --mesh; see scripts/train.py)")
@@ -126,7 +133,17 @@ def main(argv=None):
     # eval is deterministic: plain normalize, no RNG, no augment interface
     normalize = jax.jit(lambda b: dict(
         b, image=normalize_images(b["image"], dc.mean, dc.std)))
-    eval_step = make_eval_step(dc.num_classes, mesh=mesh)
+    if args.tta or args.tta_scales:
+        from semanticsegmentation_tensorflow_tpu.infer.tta import (
+            make_tta_eval_step,
+        )
+        scales = (tuple(float(s) for s in args.tta_scales.split(","))
+                  if args.tta_scales else (1.0,))
+        print(f"TTA eval: scales={list(scales)} flip=True")
+        eval_step = make_tta_eval_step(model, dc.num_classes,
+                                       scales=scales, flip=True, mesh=mesh)
+    else:
+        eval_step = make_eval_step(dc.num_classes, mesh=mesh)
 
     metrics = SegMetrics.zero(dc.num_classes)
     for batch in loader.epoch():
