@@ -46,9 +46,23 @@ def main(argv=None):
                    help="test-time augmentation: horizontal-flip "
                         "probability averaging (add scales with "
                         "--tta-scales)")
+    p.add_argument("--road-metrics", action="store_true",
+                   help="also report the official KITTI road devkit "
+                        "measures (MaxF / AP / precision / recall / FPR / "
+                        "FNR at the best threshold) from the road-"
+                        "confidence histogram (binary models only)")
     p.add_argument("--tta-scales", default=None,
                    help="comma-separated multi-scale TTA factors, e.g. "
                         "0.75,1.0,1.25 (implies --tta)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization (per-channel "
+                        "weights, calibrated per-tensor activations — "
+                        "infer/quant.py); reports the quantized metrics, "
+                        "i.e. the accuracy fingerprint of the int8 "
+                        "serving path")
+    p.add_argument("--calib-batches", type=int, default=4,
+                   help="calibration batches for --int8 (0 = weight-only "
+                        "quantization)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-process (pod) eval: join the jax.distributed "
                         "group first (implies --mesh; see scripts/train.py)")
@@ -115,6 +129,33 @@ def main(argv=None):
     ds = build_dataset(dc.dataset, args.data_dir or dc.data_dir,
                        dc.image_size, split=split)
     print(f"evaluating split={split!r} ({len(ds.train_images)} images)")
+    qapply = None
+    if args.int8:
+        import numpy as np
+
+        from semanticsegmentation_tensorflow_tpu.infer import quant
+
+        variables = {"params": state.params}
+        if jax.tree.leaves(state.batch_stats):
+            variables["batch_stats"] = state.batch_stats
+        calib = None
+        if args.calib_batches > 0:
+            cl = BatchLoader(ds, args.batch_size, pad_multiple=stride,
+                             drop_remainder=False)
+            calib = []
+            for i, b in enumerate(cl.epoch()):
+                if i >= args.calib_batches:
+                    break
+                calib.append(np.asarray(
+                    normalize_images(b["image"], dc.mean, dc.std)))
+        qv, qapply, scales = quant.quantize_for_inference(
+            model, variables, calib,
+            (args.batch_size, h, w, 3))
+        state = state.replace(params=qv["params"], apply_fn=qapply)
+        n_q = sum(1 for leaf in jax.tree.leaves(qv["params"])
+                  if leaf.dtype == np.int8)
+        print(f"int8: {n_q} convs quantized, {len(scales)} activation "
+              "scales" + (" (weight-only)" if not scales else ""))
     mesh = None
     if args.mesh and len(jax.devices()) > 1:
         from semanticsegmentation_tensorflow_tpu.parallel import (
@@ -133,6 +174,9 @@ def main(argv=None):
     # eval is deterministic: plain normalize, no RNG, no augment interface
     normalize = jax.jit(lambda b: dict(
         b, image=normalize_images(b["image"], dc.mean, dc.std)))
+    if args.road_metrics and dc.num_classes != 2:
+        print("note: --road-metrics needs a binary model; ignored")
+        args.road_metrics = False
     if args.tta or args.tta_scales:
         from semanticsegmentation_tensorflow_tpu.infer.tta import (
             make_tta_eval_step,
@@ -141,17 +185,35 @@ def main(argv=None):
                   if args.tta_scales else (1.0,))
         print(f"TTA eval: scales={list(scales)} flip=True")
         eval_step = make_tta_eval_step(model, dc.num_classes,
-                                       scales=scales, flip=True, mesh=mesh)
+                                       scales=scales, flip=True, mesh=mesh,
+                                       road_hist=args.road_metrics,
+                                       apply_fn=qapply)
     else:
-        eval_step = make_eval_step(dc.num_classes, mesh=mesh)
+        eval_step = make_eval_step(dc.num_classes, mesh=mesh,
+                                   road_hist=args.road_metrics)
 
+    import numpy as np
     metrics = SegMetrics.zero(dc.num_classes)
+    road_hist = np.zeros((2, 256), np.int64) if args.road_metrics else None
     for batch in loader.epoch():
         out = eval_step(state, normalize(batch))
         metrics = metrics.update(out["cm"], out["loss"])
+        if road_hist is not None:
+            road_hist += np.asarray(jax.device_get(out["road_hist"]),
+                                    np.int64)
     s = {k: jax.device_get(v) for k, v in metrics.summary().items()}
     print(f"loss={float(s['loss']):.4f} miou={float(s['miou']):.4f} "
           f"pixel_acc={float(s['pixel_acc']):.4f} iou={s['iou'].tolist()}")
+    if road_hist is not None:
+        from semanticsegmentation_tensorflow_tpu.train.metrics import (
+            kitti_road_metrics,
+        )
+        m = kitti_road_metrics(road_hist)
+        print("kitti-road: "
+              f"MaxF={m['maxf']:.4f} AP={m['ap']:.4f} "
+              f"PRE={m['precision']:.4f} REC={m['recall']:.4f} "
+              f"FPR={m['fpr']:.4f} FNR={m['fnr']:.4f} "
+              f"@tau={m['threshold']:.3f}")
     ckpt.close()
     return 0
 

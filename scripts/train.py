@@ -56,6 +56,10 @@ def parse_args(argv=None):
                         "accumulate grads, one optimizer update — effective "
                         "batch without the activation memory (composes with "
                         "--remat and the mesh modes)")
+    p.add_argument("--shard-opt", action="store_true",
+                   help="ZeRO-1: shard the optimizer moments over the 1-D "
+                        "data mesh (1/n moment memory per chip; each shard "
+                        "updates its param slice, params all_gather)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
     p.add_argument("--distributed", action="store_true",
@@ -287,8 +291,20 @@ def main(argv=None):
     if args.resume:
         state = ckpt.restore(state)
         print(f"resumed at step {int(state.step)}")
+    shard_opt = False
     if mesh is not None:
-        state = replicate(state, mesh)
+        shard_opt = args.shard_opt and mesh_kind == "1d-data"
+        if args.shard_opt and not shard_opt:
+            print("note: --shard-opt needs the 1-D data mesh; ignored")
+        if shard_opt:
+            from semanticsegmentation_tensorflow_tpu.parallel import (
+                shard_state_zero1,
+            )
+            state = shard_state_zero1(state, mesh)
+            print("ZeRO-1: optimizer state sharded over "
+                  f"{mesh.size} devices")
+        else:
+            state = replicate(state, mesh)
 
     from semanticsegmentation_tensorflow_tpu.train.loop import LoopHooks
     from semanticsegmentation_tensorflow_tpu.utils.logging import MetricsLogger
@@ -319,7 +335,9 @@ def main(argv=None):
 
     step_fn = make_train_step(dc.num_classes, mesh=mesh, augment_fn=aug,
                               remat=tr.remat, class_weights=class_weights,
-                              grad_accum=args.grad_accum)
+                              grad_accum=args.grad_accum,
+                              shard_opt=shard_opt,
+                              state=state if shard_opt else None)
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,

@@ -30,7 +30,7 @@ def _scale_hw(h: int, w: int, scale: float, stride: int) -> tuple[int, int]:
 
 
 def make_tta_logits_fn(model, scales: Sequence[float] = (1.0,),
-                       flip: bool = True) -> Callable:
+                       flip: bool = True, apply_fn=None) -> Callable:
     """Build ``(variables, x_normalized) -> mean class probabilities``.
 
     ``x_normalized``: [N, H, W, 3] float (already normalized). Returns
@@ -41,10 +41,13 @@ def make_tta_logits_fn(model, scales: Sequence[float] = (1.0,),
     """
     stride = getattr(model, "total_stride", 32)
     scales = tuple(float(s) for s in scales) or (1.0,)
+    # apply_fn: drop-in for model.apply (e.g. infer/quant.make_apply's
+    # int8 interceptor) — every (scale, flip) variant runs through it
+    apply = apply_fn if apply_fn is not None else model.apply
 
     def logits_at(variables, x):
         xp = pad_to_multiple(x, stride)
-        return crop_to(model.apply(variables, xp, train=False),
+        return crop_to(apply(variables, xp, train=False),
                        x.shape[1], x.shape[2])
 
     def fn(variables, x):
@@ -74,24 +77,29 @@ def make_tta_logits_fn(model, scales: Sequence[float] = (1.0,),
 
 def make_tta_eval_step(model, num_classes: int,
                        scales: Sequence[float] = (1.0,),
-                       flip: bool = True, mesh=None) -> Callable:
-    """Eval step with TTA: ``(state, batch) -> {loss, cm, pred}``.
+                       flip: bool = True, mesh=None,
+                       road_hist: bool = False, apply_fn=None) -> Callable:
+    """Eval step with TTA: ``(state, batch) -> {loss, cm, pred[, road_hist]}``.
 
     Drop-in for :func:`train.step.make_eval_step` (same mesh modes, same
     exact masked-sum metric semantics — the confusion matrix psums across
     shards, so sharded == single-device); ``loss`` is the ensemble's NLL
     (cross-entropy of the AVERAGED probabilities), reducing to the plain
-    eval loss at scales=(1.0,)/flip=False.
+    eval loss at scales=(1.0,)/flip=False. ``road_hist=True`` (binary
+    models) adds the [2, 256] KITTI-road confidence histogram of the
+    ENSEMBLE probabilities (see train/step.py:make_eval_step).
     """
     from jax import lax
     from jax.sharding import PartitionSpec as P
 
     from semanticsegmentation_tensorflow_tpu.parallel.mesh import DATA_AXIS
     from semanticsegmentation_tensorflow_tpu.train.metrics import (
-        confusion_matrix,
+        binary_confidence_histogram, confusion_matrix,
     )
 
-    tta_fn = make_tta_logits_fn(model, scales, flip)
+    if road_hist and num_classes != 2:
+        raise ValueError("road_hist needs a binary (num_classes=2) model")
+    tta_fn = make_tta_logits_fn(model, scales, flip, apply_fn)
 
     def body(state, batch, axis):
         variables = {"params": state.params}
@@ -101,6 +109,10 @@ def make_tta_eval_step(model, num_classes: int,
         preds = jnp.argmax(probs, axis=-1)
         cm = confusion_matrix(batch["label"], preds, num_classes,
                               batch.get("valid"))
+        extra = {}
+        if road_hist:
+            extra["road_hist"] = binary_confidence_histogram(
+                probs[..., 1], batch["label"] == 1, batch.get("valid"))
         # ensemble NLL in masked-sum form (train/loss.py convention)
         logp = jnp.log(jnp.maximum(probs, 1e-30))
         onehot = jax.nn.one_hot(batch["label"], num_classes,
@@ -117,15 +129,20 @@ def make_tta_eval_step(model, num_classes: int,
             cm = lax.psum(cm, axis)
             ce_sum = lax.psum(ce_sum, axis)
             valid_sum = lax.psum(valid_sum, axis)
+            if road_hist:
+                extra["road_hist"] = lax.psum(extra["road_hist"], axis)
         loss = ce_sum / jnp.maximum(valid_sum, 1.0)
-        return {"loss": loss, "cm": cm, "pred": preds}
+        return {"loss": loss, "cm": cm, "pred": preds, **extra}
 
     if mesh is None:
         return jax.jit(lambda s, b: body(s, b, None))
+    out_specs = {"loss": P(), "cm": P(), "pred": P(DATA_AXIS)}
+    if road_hist:
+        out_specs["road_hist"] = P()
     sharded = jax.shard_map(
         lambda s, b: body(s, b, DATA_AXIS), mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs={"loss": P(), "cm": P(), "pred": P(DATA_AXIS)},
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)

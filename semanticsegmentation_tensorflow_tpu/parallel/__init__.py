@@ -15,6 +15,9 @@ from semanticsegmentation_tensorflow_tpu.parallel.mesh import (  # noqa: F401
     round_up_to_mesh,
     DATA_AXIS,
     SPATIAL_AXIS,
+    zero1_spec,
+    shard_state_zero1,
+    state_specs_zero1,
 )
 from semanticsegmentation_tensorflow_tpu.parallel.launch import (  # noqa: F401
     initialize_distributed,

@@ -92,3 +92,47 @@ def replicate(tree, mesh: Mesh):
 
         return jax.tree.map(_rep, tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+def zero1_spec(x, mesh: Mesh) -> P:
+    """Per-leaf PartitionSpec for ZeRO-1 optimizer-state sharding.
+
+    A leaf shards its LAST axis over the data axis when that axis divides
+    evenly (conv kernels' cout and biases' width are 64..4096 here — all
+    multiples of any practical mesh); everything else (adam's scalar
+    count, the tiny num_classes-wide score layers) stays replicated. The
+    same rule, applied to the matching PARAM leaf's shape, drives the
+    slicing inside the train step (train/step.py:_zero1_apply_gradients) —
+    the two must agree, which they do because optimizer moments mirror
+    param shapes exactly.
+    """
+    n = int(mesh.shape[DATA_AXIS])
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 1 and shape[-1] >= n and shape[-1] % n == 0:
+        return P(*([None] * (len(shape) - 1)), DATA_AXIS)
+    return P()
+
+
+def shard_state_zero1(state, mesh: Mesh):
+    """Place a TrainState for ZeRO-1: params/rest replicated, each
+    optimizer-state leaf sharded per :func:`zero1_spec`. Adam on the
+    fc4096 FCN-8s carries ~1.07 GB of f32 moments — this stores 1/n of
+    them per chip (the update then runs on 1/n-sized slices and
+    all_gathers the fresh params, the classic ZeRO-1 exchange).
+    """
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "ZeRO-1 state placement is single-controller for now; pod "
+            "runs use replicate()")
+    opt = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, zero1_spec(x, mesh))),
+        state.opt_state)
+    rest = replicate(state.replace(opt_state={}), mesh)
+    return rest.replace(opt_state=opt)
+
+
+def state_specs_zero1(state, mesh: Mesh):
+    """TrainState-shaped tree of PartitionSpecs matching
+    :func:`shard_state_zero1`'s placement (shard_map in/out_specs)."""
+    specs = jax.tree.map(lambda _: P(), state)
+    opt = jax.tree.map(lambda x: zero1_spec(x, mesh), state.opt_state)
+    return specs.replace(opt_state=opt)

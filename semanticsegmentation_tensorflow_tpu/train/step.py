@@ -130,10 +130,61 @@ def _accum_grads(state: TrainState, batch: dict, *, num_classes: int,
     return ce_sum, valid_sum, grads, new_stats, cm
 
 
+def _zero1_leaf_sharded(x, n: int) -> bool:
+    """Must mirror parallel/mesh.py:zero1_spec's rule exactly."""
+    return x.ndim >= 1 and x.shape[-1] >= n and x.shape[-1] % n == 0
+
+
+def _zero1_apply_gradients(state: TrainState, grads, axis: str, n: int,
+                           **changes) -> TrainState:
+    """ZeRO-1 optimizer step inside shard_map: each shard holds 1/n of the
+    (last-axis-sliced) Adam moments, updates only its param slice, and
+    all_gathers the fresh params — the moment memory and the update's HBM
+    traffic both drop to 1/n, at the cost of one params-sized all_gather
+    that rides the same ICI ring as the grad psum.
+
+    Correctness relies on the optimizer being ELEMENTWISE per leaf
+    (adam/adamw/sgd all are): updating a slice with the sliced grad equals
+    slicing the full update. Leaves whose last axis doesn't divide n
+    (adam's scalar count, num_classes-wide score layers) are updated
+    replicated — bit-identical on every shard since grads are psum'd.
+    """
+    import optax
+
+    idx = lax.axis_index(axis)
+
+    def slc(x):
+        if _zero1_leaf_sharded(x, n):
+            k = x.shape[-1] // n
+            return lax.dynamic_slice_in_dim(x, idx * k, k, x.ndim - 1)
+        return x
+
+    p_sl = jax.tree.map(slc, state.params)
+    g_sl = jax.tree.map(slc, grads)
+    updates, new_opt = state.tx.update(g_sl, state.opt_state, p_sl)
+    new_p_sl = optax.apply_updates(p_sl, updates)
+
+    def gather(full_old, new_s):
+        if _zero1_leaf_sharded(full_old, n):
+            return lax.all_gather(new_s, axis, axis=full_old.ndim - 1,
+                                  tiled=True)
+        return new_s
+
+    new_params = jax.tree.map(gather, state.params, new_p_sl)
+    if state.ema_decay and jax.tree.leaves(state.ema_params):
+        d = state.ema_decay
+        changes.setdefault("ema_params", jax.tree.map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            state.ema_params, new_params))
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt, **changes)
+
+
 def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
                      augment_fn: AugmentFn | None, axis: str | None,
                      remat: bool = False, with_metrics: bool = True,
-                     class_weights=None, grad_accum: int = 1):
+                     class_weights=None, grad_accum: int = 1,
+                     zero1_n: int | None = None):
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis is not None:
         # decorrelate augmentation/dropout across shards
@@ -169,7 +220,11 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
     loss = ce_sum / denom
     grads = jax.tree.map(lambda g: g / denom.astype(g.dtype), grads)
 
-    new_state = state.apply_gradients(grads, batch_stats=new_stats)
+    if zero1_n is not None:
+        new_state = _zero1_apply_gradients(state, grads, axis, zero1_n,
+                                           batch_stats=new_stats)
+    else:
+        new_state = state.apply_gradients(grads, batch_stats=new_stats)
 
     out = {"loss": loss}
     if with_metrics:
@@ -189,7 +244,9 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
 def make_train_step(num_classes: int, mesh: Mesh | None = None,
                     augment_fn: AugmentFn | None = None,
                     remat: bool = False, with_metrics: bool = True,
-                    class_weights=None, grad_accum: int = 1) -> Callable:
+                    class_weights=None, grad_accum: int = 1,
+                    shard_opt: bool = False,
+                    state: TrainState | None = None) -> Callable:
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
     * no mesh: plain single-device jit.
@@ -207,8 +264,16 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
     further, and with both mesh modes: accumulation is per-shard, the
     psum/pmean reduction happens once on the accumulated sums).
 
+    ``shard_opt=True`` (1-D mesh only): ZeRO-1 — optimizer moments live
+    sharded over the data axis (place the state with
+    ``parallel.shard_state_zero1``; pass that state here as ``state`` so
+    the per-leaf in/out specs can be built), each shard updates its slice,
+    params all_gather. 1/n moment memory and update traffic.
+
     ``state`` is donated in every case.
     """
+    if shard_opt and (mesh is None or SPATIAL_AXIS in mesh.axis_names):
+        raise ValueError("shard_opt=True (ZeRO-1) requires a 1-D data mesh")
     if mesh is None:
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
@@ -234,46 +299,88 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
             donate_argnums=(0,),
         )
 
+    zero1_n = None
+    state_spec = P()
+    if shard_opt:
+        if state is None:
+            raise ValueError("shard_opt=True needs the (abstract or real) "
+                             "state to build per-leaf specs — pass state=")
+        from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
+            state_specs_zero1,
+        )
+        zero1_n = int(mesh.shape[DATA_AXIS])
+        state_spec = state_specs_zero1(state, mesh)
     body = partial(_train_step_body, num_classes=num_classes,
                    augment_fn=augment_fn, axis=DATA_AXIS, remat=remat,
                    with_metrics=with_metrics, class_weights=class_weights,
-                   grad_accum=grad_accum)
+                   grad_accum=grad_accum, zero1_n=zero1_n)
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(), P()),
+        in_specs=(state_spec, P(DATA_AXIS)),
+        out_specs=(state_spec, P()),
         check_vma=False,
     )
+    to_sharding = lambda spec_tree: jax.tree.map(  # noqa: E731
+        lambda s: NamedSharding(mesh, s), spec_tree,
+        is_leaf=lambda s: isinstance(s, P))
     return jax.jit(
         sharded,
-        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS))),
-        out_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+        in_shardings=(to_sharding(state_spec),
+                      NamedSharding(mesh, P(DATA_AXIS))),
+        out_shardings=(to_sharding(state_spec), NamedSharding(mesh, P())),
         donate_argnums=(0,),
     )
 
 
 def _eval_step_body(state: TrainState, batch: dict, *, num_classes: int,
-                    axis: str | None):
+                    axis: str | None, road_hist: bool = False):
     ce_sum, (valid_sum, logits, _) = _forward_loss(
         state, state.params, batch, num_classes, train=False)
     preds = jnp.argmax(logits, axis=-1)
     cm = confusion_matrix(batch["label"], preds, num_classes, batch.get("valid"))
+    out = {}
+    if road_hist:
+        # confidence histogram for the KITTI road devkit threshold sweep
+        # (class 1 = road by the data layer's palette convention)
+        from semanticsegmentation_tensorflow_tpu.train.metrics import (
+            binary_confidence_histogram,
+        )
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        out["road_hist"] = binary_confidence_histogram(
+            prob, batch["label"] == 1, batch.get("valid"))
     if axis is not None:
         cm = lax.psum(cm, axis)
         ce_sum = lax.psum(ce_sum, axis)
         valid_sum = lax.psum(valid_sum, axis)
+        if road_hist:
+            out["road_hist"] = lax.psum(out["road_hist"], axis)
     loss = ce_sum / jnp.maximum(valid_sum, 1.0)
-    return {"loss": loss, "cm": cm, "pred": preds}
+    return {"loss": loss, "cm": cm, "pred": preds, **out}
 
 
-def make_eval_step(num_classes: int, mesh: Mesh | None = None) -> Callable:
+def make_eval_step(num_classes: int, mesh: Mesh | None = None,
+                   road_hist: bool = False) -> Callable:
+    """``(state, batch) -> {loss, cm, pred[, road_hist]}``.
+
+    ``road_hist=True`` (binary models) adds the [2, 256] road-confidence
+    histogram that feeds :func:`train.metrics.kitti_road_metrics` — the
+    official KITTI road devkit measures (MaxF / AP / PRE / REC / FPR /
+    FNR). psum'd across the mesh like the confusion matrix.
+    """
+    if road_hist and num_classes != 2:
+        raise ValueError("road_hist needs a binary (num_classes=2) model")
     if mesh is None:
-        return jax.jit(partial(_eval_step_body, num_classes=num_classes, axis=None))
-    body = partial(_eval_step_body, num_classes=num_classes, axis=DATA_AXIS)
+        return jax.jit(partial(_eval_step_body, num_classes=num_classes,
+                               axis=None, road_hist=road_hist))
+    body = partial(_eval_step_body, num_classes=num_classes, axis=DATA_AXIS,
+                   road_hist=road_hist)
+    out_specs = {"loss": P(), "cm": P(), "pred": P(DATA_AXIS)}
+    if road_hist:
+        out_specs["road_hist"] = P()
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
-        out_specs={"loss": P(), "cm": P(), "pred": P(DATA_AXIS)},
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
