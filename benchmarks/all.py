@@ -263,6 +263,55 @@ def bench_infer(batch: int, steps: int) -> dict:
             "ms_per_image_e2e": round(dt_e2e / steps / batch * 1000, 2)}
 
 
+def bench_infer_int8(batch: int, steps: int) -> dict:
+    """int8 PTQ serving throughput (infer/quant.py): the same device-
+    resident label-map program as ``fcn8s_infer_b{batch}``, quantized
+    (per-channel int8 weights, calibrated per-tensor activations, s8xs8
+    MXU convs). Perf-only leg — calibration uses the benchmark's random
+    input (the scales' VALUES are irrelevant to throughput); the accuracy
+    fingerprint lives in ``scripts/eval.py --int8``. Compare
+    images_per_sec_device against the fp row to read the int8-MXU
+    speedup."""
+    import functools
+
+    from semanticsegmentation_tensorflow_tpu.data.augment import (
+        normalize_images,
+    )
+    from semanticsegmentation_tensorflow_tpu.infer import Predictor, quant
+    from semanticsegmentation_tensorflow_tpu.models import build_model
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        padded_input_hw,
+    )
+    from semanticsegmentation_tensorflow_tpu.ops.shape import (
+        pad_to_multiple,
+    )
+
+    model = build_model("fcn8s", num_classes=2)
+    h, w = padded_input_hw(model, (375, 1242))
+    vs = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.key(0), jnp.zeros((batch, h, w, 3), jnp.float32))
+    img = np.random.default_rng(0).integers(
+        0, 256, (batch, 375, 1242, 3)).astype(np.uint8)
+    xin = np.asarray(pad_to_multiple(normalize_images(
+        jnp.asarray(img), (123.68, 116.779, 103.939),
+        (58.393, 57.12, 57.375)), 32))
+    qv, apply_fn, scales = quant.quantize_for_inference(
+        model, vs, [xin], (batch, h, w, 3))
+    pred = Predictor(model, qv, (375, 1242), apply_fn=apply_fn)
+    dimg = jnp.asarray(img)
+    out = pred._fwd_labels(dimg)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = pred._fwd_labels(dimg)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return {"name": f"fcn8s_int8_infer_b{batch}", "batch": batch,
+            "act_scales": len(scales),
+            "images_per_sec_device": round(batch * steps / dt, 2),
+            "ms_per_image_device": round(dt / steps / batch * 1000, 2)}
+
+
 def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
     """The reference's test sweep (SURVEY.md §3.2): read PNGs from disk,
     forward, write overlay PNGs to runs/<ts>/. Exercises the full pipelined
@@ -392,6 +441,9 @@ def main() -> int:
         r = bench_infer(bs, steps)
         print(r)
         results.append(r)
+    r = bench_infer_int8(8, steps)
+    print(r)
+    results.append(r)
     if args.infer_all:
         for name in ("segnet", "unet", "deeplab"):
             r = bench_infer_model(name, 8, steps)

@@ -38,6 +38,15 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="export the EMA params (checkpoint must be trained "
                         "with --ema-decay)")
+    p.add_argument("--int8", action="store_true",
+                   help="export the post-training int8 program + int8 "
+                        "weights (~4x smaller artifact; TPU int8 MXU path). "
+                        "Calibrate with --calib-dir, else weight-only.")
+    p.add_argument("--calib-dir", default=None,
+                   help="directory of images (png/jpg) for --int8 "
+                        "activation calibration")
+    p.add_argument("--calib", type=int, default=16,
+                   help="max calibration images read from --calib-dir")
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
@@ -75,11 +84,34 @@ def main(argv=None):
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 
+    apply_fn = None
+    if args.int8:
+        import glob
+
+        from semanticsegmentation_tensorflow_tpu.infer import quant
+
+        stride = getattr(model, "total_stride", 32)
+        calib = None
+        if args.calib_dir:
+            paths = sorted(
+                p for ext in ("png", "jpg", "jpeg")
+                for p in glob.glob(os.path.join(args.calib_dir, f"*.{ext}"))
+            )[:args.calib]
+            if not paths:
+                raise SystemExit(f"--calib-dir {args.calib_dir}: no images")
+            calib = quant.calib_batches_from_files(
+                paths, dc.image_size, dc.mean, dc.std, stride)
+        variables, apply_fn, scales = quant.quantize_for_inference(
+            model, variables, calib, (1, h, w, 3))
+        print(f"int8: {len(scales)} activation scales"
+              + (" (weight-only)" if not scales else ""))
+
     out = args.out or f"{args.preset}.segx"
     meta = export_model(
         model, variables, dc.image_size, out, mean=dc.mean, std=dc.std,
         platforms=tuple(s for s in args.platforms.split(",") if s),
-        batch_size=args.batch_size, num_classes=dc.num_classes)
+        batch_size=args.batch_size, num_classes=dc.num_classes,
+        apply_fn=apply_fn)
     sz = os.path.getsize(out)
     print(f"wrote {out} ({sz / 1e6:.1f} MB): batch={meta['batch_mode']}"
           f" platforms={','.join(meta['platforms'])}"

@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--model-kw", default=None,
                    help="comma-separated model kwargs (k=v) — must match "
                         "the flags the checkpoint was trained with")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 forward (activations "
+                        "calibrated on the input image itself)")
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
@@ -78,8 +81,19 @@ def main(argv=None):
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
 
+    apply_fn = None
+    if args.int8:
+        from semanticsegmentation_tensorflow_tpu.infer import quant
+
+        stride = getattr(model, "total_stride", 32)
+        calib = quant.calib_batches_from_files(
+            [args.image], dc.image_size, dc.mean, dc.std, stride)
+        variables, apply_fn, scales = quant.quantize_for_inference(
+            model, variables, calib, (1, h, w, 3))
+        print(f"int8: {len(scales)} activation scales")
     predictor = Predictor(model, variables, dc.image_size,
-                          mean=dc.mean, std=dc.std, alpha=args.alpha)
+                          mean=dc.mean, std=dc.std, alpha=args.alpha,
+                          apply_fn=apply_fn)
     overlay, labels = predictor.predict_file(args.image)
     Image.fromarray(overlay).save(args.out)
     road_frac = float(np.mean(labels != 0))

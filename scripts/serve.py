@@ -69,8 +69,27 @@ def build_predictor(args):
     variables = {"params": state.eval_params(args.ema)}
     if jax.tree.leaves(state.batch_stats):
         variables["batch_stats"] = state.batch_stats
+    apply_fn = None
+    if args.int8:
+        import glob
+
+        from semanticsegmentation_tensorflow_tpu.infer import quant
+
+        stride = getattr(model, "total_stride", 32)
+        calib = None
+        if args.calib_dir:
+            paths = sorted(
+                q for ext in ("png", "jpg", "jpeg")
+                for q in glob.glob(os.path.join(args.calib_dir, f"*.{ext}"))
+            )[:16]
+            calib = quant.calib_batches_from_files(
+                paths, dc.image_size, dc.mean, dc.std, stride) or None
+        variables, apply_fn, scales = quant.quantize_for_inference(
+            model, variables, calib, (1, h, w, 3))
+        print(f"int8 serving: {len(scales)} activation scales"
+              + (" (weight-only)" if not scales else ""))
     return Predictor(model, variables, dc.image_size, mean=dc.mean,
-                     std=dc.std, alpha=args.alpha)
+                     std=dc.std, alpha=args.alpha, apply_fn=apply_fn)
 
 
 def make_handler(predictor, stats):
@@ -161,6 +180,13 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA params (checkpoint must be trained "
                         "with --ema-decay)")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 serving (per-channel weights; "
+                        "activations calibrated from --calib-dir images, "
+                        "else weight-only). Checkpoint mode only — for "
+                        "artifacts, export with --int8 instead.")
+    p.add_argument("--calib-dir", default=None,
+                   help="directory of images for --int8 calibration")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,

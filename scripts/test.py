@@ -38,6 +38,12 @@ def main(argv=None):
                         "(1-D data mesh; params replicated) — multi-chip "
                         "batch-parallel serving. Pair with --batch >= the "
                         "device count.")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 serving (per-channel weights, "
+                        "per-tensor activations calibrated on the first "
+                        "--calib sweep images; TPU int8 MXU path)")
+    p.add_argument("--calib", type=int, default=8,
+                   help="calibration images for --int8 (0 = weight-only)")
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
@@ -89,8 +95,20 @@ def main(argv=None):
             print(f"note: --batch rounded up to {args.batch} "
                   "(must be a mesh multiple)")
     ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)
+    apply_fn = None
+    if args.int8:
+        from semanticsegmentation_tensorflow_tpu.infer import quant
+
+        stride = getattr(model, "total_stride", 32)
+        calib = (quant.calib_batches_from_files(
+            ds.test_images[:args.calib], dc.image_size, dc.mean, dc.std,
+            stride) if args.calib > 0 else None)
+        variables, apply_fn, scales = quant.quantize_for_inference(
+            model, variables, calib, (1, h, w, 3))
+        print(f"int8 serving: {len(scales)} activation scales"
+              + (" (weight-only)" if not scales else ""))
     predictor = Predictor(model, variables, dc.image_size, mean=dc.mean,
-                          std=dc.std, mesh=mesh)
+                          std=dc.std, mesh=mesh, apply_fn=apply_fn)
     t0, n = time.perf_counter(), 0
     for src, dst in save_inference_samples(predictor, ds.test_images,
                                            args.runs_dir,

@@ -8,3 +8,4 @@ from semanticsegmentation_tensorflow_tpu.infer.export import (  # noqa: F401
     ExportedPredictor,
     export_model,
 )
+from semanticsegmentation_tensorflow_tpu.infer import quant  # noqa: F401

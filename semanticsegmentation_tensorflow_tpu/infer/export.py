@@ -56,19 +56,23 @@ _LABEL_ENTRY = "fn_labels.jaxexport"
 _OVERLAY_ENTRY = "fn_overlay.jaxexport"
 
 
-def _build_fns(model: nn.Module, image_size, mean, std, palette, alpha):
+def _build_fns(model: nn.Module, image_size, mean, std, palette, alpha,
+               apply_fn=None):
     """The same device programs Predictor jits (predict.py:70-88), built
     here for export so artifact serving is bit-identical to in-process
-    serving."""
+    serving. ``apply_fn`` swaps the forward (e.g. the int8 interceptor
+    apply from infer/quant.make_apply) — the artifact then carries the
+    QUANTIZED program + int8 weights (~4x smaller)."""
     stride = getattr(model, "total_stride", 32)
     pal = jnp.asarray(palette)
     mean = tuple(mean)
     std = tuple(std)
+    apply = apply_fn if apply_fn is not None else model.apply
 
     def logits_fn(variables, image_u8):
         x = normalize_images(image_u8, mean, std)
         x = pad_to_multiple(x, stride)
-        logits = model.apply(variables, x, train=False)
+        logits = apply(variables, x, train=False)
         return crop_to(logits, *image_size)
 
     def fn_labels(variables, image_u8):
@@ -91,7 +95,8 @@ def export_model(model: nn.Module, variables: dict,
                  alpha: float = 0.5,
                  platforms: Sequence[str] = ("cpu", "tpu"),
                  batch_size: int | None = None,
-                 num_classes: int | None = None) -> dict:
+                 num_classes: int | None = None,
+                 apply_fn=None) -> dict:
     """Write a ``.segx`` serving artifact; returns its meta dict.
 
     ``batch_size=None`` attempts a symbolic ("b")-batch export first and
@@ -100,7 +105,7 @@ def export_model(model: nn.Module, variables: dict,
     """
     h, w = image_size
     fn_labels, fn_overlay = _build_fns(model, image_size, mean, std,
-                                       overlay_palette, alpha)
+                                       overlay_palette, alpha, apply_fn)
     var_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         variables)
@@ -125,8 +130,9 @@ def export_model(model: nn.Module, variables: dict,
         lab, ove = _try(batch_size)
 
     if num_classes is None:
+        fwd = apply_fn if apply_fn is not None else model.apply
         num_classes = int(jax.eval_shape(
-            lambda v, x: model.apply(v, x, train=False), var_specs,
+            lambda v, x: fwd(v, x, train=False), var_specs,
             jax.ShapeDtypeStruct((1, *_pad_hw(image_size, model), 3),
                                  jnp.float32)).shape[-1])
 

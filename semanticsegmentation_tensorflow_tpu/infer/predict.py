@@ -45,8 +45,13 @@ class Predictor:
                  overlay_palette: np.ndarray = KITTI_OVERLAY_PALETTE,
                  alpha: float = 0.5,
                  use_pallas: bool | None = None,
-                 mesh=None):
+                 mesh=None,
+                 apply_fn=None):
         self.image_size = image_size
+        # apply_fn: drop-in replacement for model.apply — e.g. the int8
+        # interceptor apply from infer/quant.make_apply (pass its
+        # quantized variables tree too)
+        apply = apply_fn if apply_fn is not None else model.apply
         self._mesh = mesh
         stride = getattr(model, "total_stride", 32)
         palette = jnp.asarray(overlay_palette)
@@ -70,7 +75,7 @@ class Predictor:
         def logits_fn(variables, image_u8: jax.Array) -> jax.Array:
             x = normalize_images(image_u8, mean, std)
             x = pad_to_multiple(x, stride)
-            logits = model.apply(variables, x, train=False)
+            logits = apply(variables, x, train=False)
             return crop_to(logits, *image_size)
 
         def fwd(variables, image_u8):

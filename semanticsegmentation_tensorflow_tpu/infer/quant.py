@@ -1,0 +1,286 @@
+"""Post-training int8 quantization for serving (TPU int8 MXU path).
+
+The reference serves float32 TF1 graphs (SURVEY.md §3.2); it has no
+quantized path. On TPU v5e the MXU executes s8 x s8 -> s32 at 2x the bf16
+FLOP rate (394.5 vs 197 TOPS) and int8 weights quarter the HBM weight
+traffic, so a quantized forward is the hardware-native serving fast path —
+this module adds it as a pure post-training transform: no training change,
+no model-code change, no new checkpoint format.
+
+Scheme (the standard TPU-friendly symmetric recipe):
+
+* **Weights**: per-output-channel symmetric int8. Each ``nn.Conv`` kernel
+  ``[kh,kw,cin,cout]`` is replaced IN THE VARIABLES TREE by its int8
+  quantization plus a ``kernel_scale`` [cout] float32 sibling
+  (:func:`quantize_variables`) — the artifact/params file shrinks ~4x and
+  dequantization is a per-channel multiply fused into the conv epilogue.
+* **Activations**: per-tensor symmetric int8, scale calibrated offline as
+  the running amax of each conv's input over calibration batches
+  (:func:`calibrate_act_scales`). Scales are baked into the program as
+  compile-time constants.
+* **Compute**: ``lax.conv_general_dilated(x_q, k_q,
+  preferred_element_type=int32)`` — exact integer arithmetic on the MXU —
+  then one fused f32 rescale ``* (sx * sw[cout])`` + bias.
+
+Routing is a ``flax.linen.intercept_methods`` interceptor over
+``nn.Conv.__call__`` / ``nn.ConvTranspose.__call__`` (:func:`make_apply`),
+so every model family (FCN-8s / U-Net / SegNet / DeepLab) quantizes
+through ONE code path keyed only by the kernel leaf's dtype: int8 kernel
+-> integer conv; float kernel -> untouched ``next_fun``. Layers that
+bypass both (the packed-layout fast paths, fast_upsample's decomposed
+upconv, BN) stay in bf16/f32 — partial quantization is fine: the 3x3
+stacks plus the transposed-conv decoders are ~all of the FLOPs.
+
+Convs whose input has no calibrated scale run **weight-only** quantized
+(dequantize kernel, bf16 conv): the memory win without the activation
+quantization error — also the safe mode when no calibration data exists.
+
+Everything here is plain jax: the quantized apply jits, exports via
+``jax.export`` (``scripts/export_model.py --int8``), and partitions under
+the inference mesh unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+import flax.core
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+PATH_SEP = "/"
+
+
+def _path_key(module: nn.Module) -> str:
+    return PATH_SEP.join(module.path)
+
+
+def _pair(v) -> tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _conv_supported(mod) -> bool:
+    """Only the configurations this repo's models emit; anything exotic
+    falls through to the float path rather than risking a semantics
+    mismatch with flax's own padding/dilation handling. Covers ``nn.Conv``
+    and ``nn.ConvTranspose`` (the U-Net/FCN decoder upsamplers — real
+    FLOP share in U-Net)."""
+    if type(mod) is nn.Conv:
+        if mod.mask is not None:
+            return False
+        if mod.input_dilation not in (None, 1, (1, 1)):
+            return False
+    elif type(mod) is nn.ConvTranspose:
+        if getattr(mod, "transpose_kernel", False):
+            return False  # IO-flipped kernels: per-channel axis differs
+    else:
+        return False
+    pad = mod.padding
+    if isinstance(pad, str):
+        return pad in ("SAME", "VALID")
+    return True
+
+
+def conv_paths(model: nn.Module, variables: dict,
+               sample_shape: Sequence[int]) -> list[str]:
+    """Module paths of every ``nn.Conv`` the forward actually calls,
+    discovered by an abstract (eval_shape) trace — no FLOPs, and it
+    naturally excludes ConvTranspose/packed-path layers."""
+    found: list[str] = []
+
+    def icpt(next_fun, args, kwargs, context):
+        mod = context.module
+        if context.method_name == "__call__" and _conv_supported(mod):
+            key = _path_key(mod)
+            if key not in found:
+                found.append(key)
+        return next_fun(*args, **kwargs)
+
+    def run(v, x):
+        with nn.intercept_methods(icpt):
+            model.apply(v, x, train=False)
+        return 0
+
+    jax.eval_shape(run, variables,
+                   jax.ShapeDtypeStruct(tuple(sample_shape), jnp.float32))
+    return found
+
+
+def quantize_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8: returns (q [.. ,cout] int8,
+    scale [cout] f32) with ``q * scale ~= kernel`` (|err| <= scale/2)."""
+    kf = jnp.asarray(kernel, jnp.float32)
+    s = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(kf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_variables(model: nn.Module, variables: dict,
+                       sample_shape: Sequence[int]) -> dict:
+    """Variables tree with every traced ``nn.Conv`` kernel replaced by its
+    int8 quantization + ``kernel_scale`` sibling. Non-kernel leaves (bias,
+    BN stats, ConvTranspose kernels, packed-path params) are untouched, so
+    the tree still feeds the SAME ``model`` — :func:`make_apply`'s
+    interceptor routes on the kernel dtype."""
+    params = flax.core.unfreeze(jax.device_get(variables["params"]))
+    params = jax.tree.map(np.asarray, params)  # deep host copy to mutate
+    for key in conv_paths(model, variables, sample_shape):
+        node = params
+        for part in key.split(PATH_SEP):
+            node = node[part]
+        q, s = quantize_kernel(node["kernel"])
+        node["kernel"] = np.asarray(q)
+        node["kernel_scale"] = np.asarray(s)
+    out = flax.core.unfreeze(variables)
+    out["params"] = params
+    return out
+
+
+def calibrate_act_scales(model: nn.Module, variables: dict,
+                         batches: Iterable[np.ndarray],
+                         margin: float = 1.0) -> dict[str, float]:
+    """Per-tensor activation scales: ``amax(|conv input|) / 127`` over the
+    calibration batches (model-input domain: normalized, padded images).
+    One jitted program per input shape returns every conv's amax in a
+    single device pass; the max-reduce over batches runs on host.
+    ``margin`` multiplies the amax (>1 leaves clip headroom)."""
+
+    def fwd(v, x):
+        rec: dict[str, jax.Array] = {}
+
+        def icpt(next_fun, args, kwargs, context):
+            mod = context.module
+            if context.method_name == "__call__" and _conv_supported(mod):
+                a = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                key = _path_key(mod)
+                rec[key] = jnp.maximum(rec[key], a) if key in rec else a
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(icpt):
+            model.apply(v, x, train=False)
+        return rec
+
+    jfwd = jax.jit(fwd)
+    amax: dict[str, float] = {}
+    n = 0
+    for batch in batches:
+        rec = jax.device_get(jfwd(variables, jnp.asarray(batch)))
+        for k, v in rec.items():
+            amax[k] = max(amax.get(k, 0.0), float(v))
+        n += 1
+    if n == 0:
+        raise ValueError("calibration needs at least one batch")
+    return {k: (v * margin) / 127.0 if v > 0 else 1.0
+            for k, v in amax.items()}
+
+
+def _quantized_conv(mod, x: jax.Array, act_scale: float | None
+                    ) -> jax.Array:
+    p = mod.variables["params"]
+    kq, kscale = p["kernel"], p["kernel_scale"]
+    bias = p["bias"] if mod.use_bias else None
+    strides = _pair(mod.strides or 1)
+    dil = _pair(mod.kernel_dilation or 1)
+    pad = mod.padding
+    if isinstance(pad, int):
+        pad = ((pad, pad), (pad, pad))
+    dn = ("NHWC", "HWIO", "NHWC")
+    out_dt = mod.dtype or x.dtype
+    transpose = type(mod) is nn.ConvTranspose
+
+    def conv(lhs, rhs, **kw):
+        if transpose:
+            return lax.conv_transpose(lhs, rhs, strides, pad,
+                                      rhs_dilation=dil,
+                                      dimension_numbers=dn, **kw)
+        return lax.conv_general_dilated(
+            lhs, rhs, strides, pad, rhs_dilation=dil,
+            dimension_numbers=dn,
+            feature_group_count=mod.feature_group_count, **kw)
+
+    if act_scale is None:
+        # weight-only: dequantize, bf16 conv — no activation-quant error
+        k = (kq.astype(jnp.float32) * kscale).astype(out_dt)
+        y = conv(x.astype(out_dt), k).astype(jnp.float32)
+    else:
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / act_scale)),
+                     -127, 127).astype(jnp.int8)
+        y32 = conv(q, kq, preferred_element_type=jnp.int32)
+        y = y32.astype(jnp.float32) * (kscale * act_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dt)
+
+
+def make_apply(model: nn.Module,
+               act_scales: dict[str, float] | None = None) -> Callable:
+    """``apply_fn(variables, x, train=False, **kw)`` — drop-in for
+    ``model.apply`` that routes int8-kernel convs through the integer MXU
+    path (per-tensor act scale from ``act_scales``; weight-only when a
+    conv's path has no scale). Float-kernel convs and every other module
+    run unchanged, so the same apply serves quantized AND unquantized
+    trees. Plain jax: jit/export/mesh-partition like the original."""
+    scales = dict(act_scales or {})
+
+    def icpt(next_fun, args, kwargs, context):
+        mod = context.module
+        if (context.method_name == "__call__" and _conv_supported(mod)
+                and mod.variables["params"]["kernel"].dtype == jnp.int8):
+            return _quantized_conv(mod, args[0],
+                                   scales.get(_path_key(mod)))
+        return next_fun(*args, **kwargs)
+
+    def apply_fn(variables, *args, **kwargs):
+        with nn.intercept_methods(icpt):
+            return model.apply(variables, *args, **kwargs)
+
+    return apply_fn
+
+
+def calib_batches_from_files(paths: Sequence[str],
+                             image_size: tuple[int, int],
+                             mean: Sequence[float], std: Sequence[float],
+                             stride: int = 32,
+                             batch: int = 4) -> list[np.ndarray]:
+    """Load image files into normalized, stride-padded model-input batches
+    — the same preprocessing Predictor's logits_fn applies (predict.py:70)
+    so the calibrated ranges match serving exactly."""
+    from semanticsegmentation_tensorflow_tpu.data.augment import (
+        normalize_images,
+    )
+    from semanticsegmentation_tensorflow_tpu.data.kitti import load_image
+    from semanticsegmentation_tensorflow_tpu.ops.shape import (
+        pad_to_multiple,
+    )
+
+    out = []
+    for i in range(0, len(paths), batch):
+        imgs = np.stack([load_image(p, image_size)
+                         for p in paths[i:i + batch]])
+        x = normalize_images(jnp.asarray(imgs), mean, std)
+        out.append(np.asarray(pad_to_multiple(x, stride)))
+    return out
+
+
+def quantize_for_inference(model: nn.Module, variables: dict,
+                           calib_batches: Iterable[np.ndarray] | None,
+                           sample_shape: Sequence[int],
+                           margin: float = 1.0,
+                           ) -> tuple[dict, Callable, dict[str, float]]:
+    """One-call PTQ: returns ``(qvariables, apply_fn, act_scales)``.
+
+    ``calib_batches``: normalized model-input arrays (what the model's
+    ``__call__`` sees); ``None`` -> weight-only quantization. Feed
+    ``apply_fn``/``qvariables`` to :class:`infer.predict.Predictor`
+    (``apply_fn=``), :func:`infer.export.export_model`, or a
+    ``TrainState.replace(params=..., apply_fn=...)`` for quantized eval.
+    """
+    scales = (calibrate_act_scales(model, variables, calib_batches, margin)
+              if calib_batches is not None else {})
+    qvars = quantize_variables(model, variables, sample_shape)
+    return qvars, make_apply(model, scales), scales
