@@ -145,6 +145,8 @@ class CheckpointManager:
                     "opt_state": state.opt_state,
                     "batch_stats": state.batch_stats}
         try:
+            # on a manager that hasn't saved in-process, item_metadata can
+            # return None (no handler registry) — treat like a parse failure
             meta_keys = set(self._mgr.item_metadata(step).keys())
         except Exception:
             # a legacy typed-key leaf can make metadata parsing itself fail
@@ -160,6 +162,22 @@ class CheckpointManager:
         def _meta_sds(key):
             md = self._mgr.item_metadata(step)[key]
             return jax.ShapeDtypeStruct(tuple(md.shape), md.dtype)
+
+        # The checkpoint may hold entries the template doesn't ask for —
+        # the everyday case: evaluating/serving an --ema-decay checkpoint
+        # WITHOUT --ema. StandardRestore demands structural equality, so
+        # restore those entries into metadata-shaped abstract leaves and
+        # drop them afterwards (an ignored EMA tree must not leak into a
+        # state that isn't tracking EMA).
+        drop_keys: list[str] = []
+        if meta_keys is not None:
+            for k in meta_keys - set(template) - {"rng_data", "rng_impl",
+                                                  "rng"}:
+                md = self._mgr.item_metadata(step)[k]
+                template[k] = jax.tree.map(
+                    lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
+                    md)
+                drop_keys.append(k)
 
         def _restore(tmpl):
             tmpl = jax.tree.map(_abstract_with_sharding, tmpl)
@@ -210,7 +228,22 @@ class CheckpointManager:
                             f"but the checkpoint at step {step} holds none "
                             "— it was not trained with --ema-decay"
                         ) from None
-                    raise first_err from None
+                    # the inverse mismatch: a non-EMA template against an
+                    # --ema-decay checkpoint. The stored ema_params tree
+                    # mirrors params exactly, so probe with a params-shaped
+                    # abstract entry and drop it from the result.
+                    t3 = dict(template, rng_data=data, rng_impl=impl_u8,
+                              ema_params=jax.tree.map(
+                                  lambda p: jax.ShapeDtypeStruct(
+                                      jax.numpy.shape(p), p.dtype),
+                                  state.params))
+                    try:
+                        restored = _restore(t3)
+                    except Exception:
+                        raise first_err from None
+                    restored.pop("ema_params", None)
+        for k in drop_keys:
+            restored.pop(k, None)
         if "rng_data" in restored:
             import numpy as np
 

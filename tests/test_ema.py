@@ -102,6 +102,31 @@ def test_restore_ema_from_plain_checkpoint_raises(tmp_path):
     mgr2.close()
 
 
+def test_restore_ema_checkpoint_into_plain_template(tmp_path):
+    """The everyday serving case: a checkpoint trained WITH --ema-decay
+    evaluated WITHOUT --ema. The extra on-disk ema_params entry must be
+    restored-and-dropped (regression: orbax StandardRestore demands
+    structural equality and raised a tree-mismatch dump)."""
+    s = _state(ema_decay=0.9)
+    step = make_train_step(num_classes=2)
+    s, _ = step(s, _batch())
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(s, wait=True)
+    mgr.close()
+
+    model = build_model("unet", num_classes=2, base_features=8,
+                        dtype=jnp.float32)
+    tmpl = create_abstract_state(model, (4, 32, 32, 3),
+                                 make_optimizer("sgd", 1e-2), ema=False)
+    mgr2 = CheckpointManager(str(tmp_path))
+    r = mgr2.restore(tmpl)
+    mgr2.close()
+    assert not jax.tree.leaves(r.ema_params)  # ignored, not leaked
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(r.step) == int(s.step)
+
+
 def test_plain_checkpoint_roundtrip_unchanged(tmp_path):
     """Non-EMA checkpoints keep their exact pre-EMA layout (regression:
     the payload gains the ema_params key ONLY when tracked)."""
