@@ -138,8 +138,13 @@ def main(argv=None):
         variables = {"params": state.params}
         if jax.tree.leaves(state.batch_stats):
             variables["batch_stats"] = state.batch_stats
-        calib = None
-        if args.calib_batches > 0:
+        calib, qat_scales = None, None
+        scales_path = os.path.join(args.checkpoint_dir, "qat_scales.json")
+        if os.path.exists(scales_path):
+            # a QAT run persisted its training grid — evaluate on it
+            qat_scales = quant.load_act_scales(scales_path)
+            print(f"int8: QAT scales from {scales_path}")
+        elif args.calib_batches > 0:
             cl = BatchLoader(ds, args.batch_size, pad_multiple=stride,
                              drop_remainder=False)
             calib = []
@@ -150,7 +155,7 @@ def main(argv=None):
                     normalize_images(b["image"], dc.mean, dc.std)))
         qv, qapply, scales = quant.quantize_for_inference(
             model, variables, calib,
-            (args.batch_size, h, w, 3))
+            (args.batch_size, h, w, 3), act_scales=qat_scales)
         state = state.replace(params=qv["params"], apply_fn=qapply)
         n_q = sum(1 for leaf in jax.tree.leaves(qv["params"])
                   if leaf.dtype == np.int8)

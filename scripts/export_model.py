@@ -91,8 +91,12 @@ def main(argv=None):
         from semanticsegmentation_tensorflow_tpu.infer import quant
 
         stride = getattr(model, "total_stride", 32)
-        calib = None
-        if args.calib_dir:
+        calib, qat_scales = None, None
+        sp = os.path.join(args.checkpoint_dir, "qat_scales.json")
+        if os.path.exists(sp):
+            qat_scales = quant.load_act_scales(sp)
+            print(f"int8: QAT scales from {sp}")
+        elif args.calib_dir:
             paths = sorted(
                 p for ext in ("png", "jpg", "jpeg")
                 for p in glob.glob(os.path.join(args.calib_dir, f"*.{ext}"))
@@ -102,7 +106,7 @@ def main(argv=None):
             calib = quant.calib_batches_from_files(
                 paths, dc.image_size, dc.mean, dc.std, stride)
         variables, apply_fn, scales = quant.quantize_for_inference(
-            model, variables, calib, (1, h, w, 3))
+            model, variables, calib, (1, h, w, 3), act_scales=qat_scales)
         print(f"int8: {len(scales)} activation scales"
               + (" (weight-only)" if not scales else ""))
 

@@ -100,11 +100,17 @@ def main(argv=None):
         from semanticsegmentation_tensorflow_tpu.infer import quant
 
         stride = getattr(model, "total_stride", 32)
-        calib = (quant.calib_batches_from_files(
-            ds.test_images[:args.calib], dc.image_size, dc.mean, dc.std,
-            stride) if args.calib > 0 else None)
+        calib, qat_scales = None, None
+        sp = os.path.join(args.checkpoint_dir, "qat_scales.json")
+        if os.path.exists(sp):
+            qat_scales = quant.load_act_scales(sp)
+            print(f"int8: QAT scales from {sp}")
+        elif args.calib > 0:
+            calib = quant.calib_batches_from_files(
+                ds.test_images[:args.calib], dc.image_size, dc.mean,
+                dc.std, stride)
         variables, apply_fn, scales = quant.quantize_for_inference(
-            model, variables, calib, (1, h, w, 3))
+            model, variables, calib, (1, h, w, 3), act_scales=qat_scales)
         print(f"int8 serving: {len(scales)} activation scales"
               + (" (weight-only)" if not scales else ""))
     predictor = Predictor(model, variables, dc.image_size, mean=dc.mean,

@@ -60,6 +60,18 @@ def parse_args(argv=None):
                    help="ZeRO-1: shard the optimizer moments over the 1-D "
                         "data mesh (1/n moment memory per chip; each shard "
                         "updates its param slice, params all_gather)")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: fake-quantize conv "
+                        "weights (per-channel int8 grid) and activations "
+                        "(calibrated per-tensor grid) with straight-"
+                        "through gradients, so int8 serving (--int8 / "
+                        "export --int8) matches the trained forward. "
+                        "Typically follows FP pretraining (--resume). "
+                        "Scales persist to <ckpt>/qat_scales.json and are "
+                        "auto-reused by eval/test/export --int8.")
+    p.add_argument("--qat-calib-batches", type=int, default=4,
+                   help="batches used to calibrate QAT activation scales "
+                        "when qat_scales.json doesn't exist yet")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (no shard_map) even with >1 device")
     p.add_argument("--distributed", action="store_true",
@@ -291,6 +303,33 @@ def main(argv=None):
     if args.resume:
         state = ckpt.restore(state)
         print(f"resumed at step {int(state.step)}")
+    if args.qat:
+        import numpy as np
+
+        from semanticsegmentation_tensorflow_tpu.data import normalize_images
+        from semanticsegmentation_tensorflow_tpu.infer import quant
+
+        scales_path = os.path.join(tr.checkpoint_dir, "qat_scales.json")
+        if os.path.exists(scales_path):
+            scales = quant.load_act_scales(scales_path)
+            print(f"QAT: {len(scales)} activation scales from {scales_path}")
+        else:
+            variables = {"params": state.params}
+            if jax.tree.leaves(state.batch_stats):
+                variables["batch_stats"] = state.batch_stats
+            calib = []
+            for i, b in enumerate(loader.epoch()):
+                if i >= args.qat_calib_batches:
+                    break
+                calib.append(np.asarray(
+                    normalize_images(b["image"], dc.mean, dc.std)))
+            scales = quant.calibrate_act_scales(model, variables, calib)
+            os.makedirs(tr.checkpoint_dir, exist_ok=True)
+            quant.save_act_scales(scales_path, scales)
+            print(f"QAT: calibrated {len(scales)} activation scales -> "
+                  f"{scales_path}")
+        state = state.replace(
+            apply_fn=quant.make_fake_quant_apply(model, scales))
     shard_opt = False
     if mesh is not None:
         shard_opt = args.shard_opt and mesh_kind == "1d-data"

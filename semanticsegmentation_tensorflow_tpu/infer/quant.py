@@ -242,6 +242,89 @@ def make_apply(model: nn.Module,
     return apply_fn
 
 
+def _ste(x: jax.Array, quantized: jax.Array) -> jax.Array:
+    """Straight-through estimator: forward = ``quantized``, gradient =
+    identity w.r.t. ``x`` (the standard QAT trick — the rounding step
+    function has zero gradient almost everywhere, so we pass the
+    upstream gradient through unchanged)."""
+    return x + lax.stop_gradient(quantized - x)
+
+
+def make_fake_quant_apply(model: nn.Module,
+                          act_scales: dict[str, float]) -> Callable:
+    """Quantization-AWARE-training apply: drop-in for ``model.apply`` that
+    fake-quantizes every supported conv's weights (per-output-channel
+    int8 grid, recomputed from the live f32 params each step) and inputs
+    (per-tensor grid at the calibrated scale) with straight-through
+    gradients — the forward sees exactly the int8 serving grid, the
+    backward trains the underlying f32 weights.
+
+    Train with this as ``TrainState.apply_fn`` (``scripts/train.py
+    --qat``), then export/serve the SAME scales via the PTQ path
+    (:func:`quantize_variables` + :func:`make_apply`): the deployed int8
+    program computes the product the training forward saw (up to f32
+    rounding of the dequantized operands). Operates on FLOAT kernels —
+    the complement of :func:`make_apply`'s int8 routing."""
+    scales = dict(act_scales or {})
+
+    def icpt(next_fun, args, kwargs, context):
+        mod = context.module
+        if not (context.method_name == "__call__" and _conv_supported(mod)
+                and mod.variables["params"]["kernel"].dtype != jnp.int8):
+            return next_fun(*args, **kwargs)
+        p = mod.variables["params"]
+        k = p["kernel"].astype(jnp.float32)
+        kq, ks = quantize_kernel(k)
+        k_fq = _ste(k, kq.astype(jnp.float32) * ks)
+        x = args[0]
+        sx = scales.get(_path_key(mod))
+        if sx is not None:
+            xf = x.astype(jnp.float32)
+            xq = jnp.clip(jnp.round(xf * (1.0 / sx)), -127, 127) * sx
+            x = _ste(xf, xq)
+        strides = _pair(mod.strides or 1)
+        dil = _pair(mod.kernel_dilation or 1)
+        pad = mod.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        dn = ("NHWC", "HWIO", "NHWC")
+        out_dt = mod.dtype or args[0].dtype
+        if type(mod) is nn.ConvTranspose:
+            y = lax.conv_transpose(x.astype(out_dt), k_fq.astype(out_dt),
+                                   strides, pad, rhs_dilation=dil,
+                                   dimension_numbers=dn)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(out_dt), k_fq.astype(out_dt), strides, pad,
+                rhs_dilation=dil, dimension_numbers=dn,
+                feature_group_count=mod.feature_group_count)
+        if mod.use_bias:
+            y = y.astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(out_dt)
+
+    def apply_fn(variables, *args, **kwargs):
+        with nn.intercept_methods(icpt):
+            return model.apply(variables, *args, **kwargs)
+
+    return apply_fn
+
+
+def save_act_scales(path: str, scales: dict[str, float]) -> None:
+    """Persist calibrated activation scales (JSON) next to a checkpoint so
+    QAT resume / int8 export reuse the EXACT training grid."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(scales, f, indent=1, sort_keys=True)
+
+
+def load_act_scales(path: str) -> dict[str, float]:
+    import json
+
+    with open(path) as f:
+        return {str(k): float(v) for k, v in json.load(f).items()}
+
+
 def calib_batches_from_files(paths: Sequence[str],
                              image_size: tuple[int, int],
                              mean: Sequence[float], std: Sequence[float],
@@ -271,6 +354,7 @@ def quantize_for_inference(model: nn.Module, variables: dict,
                            calib_batches: Iterable[np.ndarray] | None,
                            sample_shape: Sequence[int],
                            margin: float = 1.0,
+                           act_scales: dict[str, float] | None = None,
                            ) -> tuple[dict, Callable, dict[str, float]]:
     """One-call PTQ: returns ``(qvariables, apply_fn, act_scales)``.
 
@@ -279,8 +363,15 @@ def quantize_for_inference(model: nn.Module, variables: dict,
     ``apply_fn``/``qvariables`` to :class:`infer.predict.Predictor`
     (``apply_fn=``), :func:`infer.export.export_model`, or a
     ``TrainState.replace(params=..., apply_fn=...)`` for quantized eval.
+    ``act_scales`` (e.g. a QAT run's persisted grid,
+    :func:`load_act_scales`) skips calibration and uses the given scales
+    verbatim.
     """
-    scales = (calibrate_act_scales(model, variables, calib_batches, margin)
-              if calib_batches is not None else {})
+    if act_scales is not None:
+        scales = dict(act_scales)
+    else:
+        scales = (calibrate_act_scales(model, variables, calib_batches,
+                                       margin)
+                  if calib_batches is not None else {})
     qvars = quantize_variables(model, variables, sample_shape)
     return qvars, make_apply(model, scales), scales

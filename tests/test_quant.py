@@ -220,6 +220,101 @@ class TestModelFamilies:
         assert agree > 0.97, f"argmax agreement {agree}"
 
 
+class TestQAT:
+    def test_on_grid_weights_pass_through_with_exact_grads(self):
+        """Weights already ON the int8 grid (integer values, amax=127 per
+        channel -> scale 1) make weight fake-quant a no-op — forward AND
+        gradient must equal the plain model bitwise (the STE passes
+        gradients through unchanged)."""
+        m, v, shape = _net_and_vars()
+        rng = np.random.default_rng(7)
+
+        def gridify(k):
+            k = rng.integers(-126, 127, k.shape).astype(np.float32)
+            k[0, 0, 0, ...] = 127.0  # pin per-channel amax -> scale 1
+            return jnp.asarray(k)
+
+        v = jax.tree.map(lambda x: gridify(x) if x.ndim == 4 else x, v)
+        x = jnp.asarray(rng.integers(-5, 6, shape).astype(np.float32))
+        fq = quant.make_fake_quant_apply(m, {})  # weight-only fake-quant
+
+        def loss_fq(v):
+            return jnp.sum(fq(v, x, train=False) ** 2)
+
+        def loss_fp(v):
+            return jnp.sum(m.apply(v, x, train=False) ** 2)
+
+        lf, gf = jax.value_and_grad(loss_fq)(v)
+        lp, gp = jax.value_and_grad(loss_fp)(v)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lp))
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), gf, gp)
+
+    def test_fake_quant_forward_matches_int8_serving(self):
+        """The QAT forward and the deployed int8 program compute the same
+        quantized product (up to f32 rounding of the dequantized
+        operands)."""
+        m, v, shape = _net_and_vars()
+        x = jax.random.normal(jax.random.key(8), shape, jnp.float32)
+        scales = quant.calibrate_act_scales(m, v, [np.asarray(x)])
+        fq = np.asarray(quant.make_fake_quant_apply(m, scales)(
+            v, x, train=False))
+        qv = quant.quantize_variables(m, v, shape)
+        q8 = np.asarray(quant.make_apply(m, scales)(qv, x, train=False))
+        np.testing.assert_allclose(fq, q8, rtol=2e-5, atol=1e-6)
+
+    def test_qat_trains_and_serves_consistently(self):
+        """The documented flow: FP pretrain -> calibrate on the trained
+        activations -> QAT finetune THROUGH the fake-quant forward (STE
+        gradients keep improving the loss) -> the int8 serving path
+        reproduces the trained forward's argmax. (Calibrating on an
+        UNTRAINED net stalls QAT — the stale clip range throttles grown
+        activations — which is why --qat documents 'after FP
+        pretraining'.)"""
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            create_train_state, make_optimizer,
+        )
+        from semanticsegmentation_tensorflow_tpu.train.step import (
+            make_train_step,
+        )
+        model = build_model("unet", num_classes=2, base_features=8)
+        shape = (4, 32, 32, 3)
+        state = create_train_state(model, jax.random.key(0), shape,
+                                   make_optimizer("adam", 3e-3))
+        rng = np.random.default_rng(9)
+        img = rng.normal(size=shape).astype(np.float32)
+        lab = (img[..., 0] > 0).astype(np.int32)
+        batch = {"image": img, "label": lab,
+                 "valid": np.ones(shape[:3], bool)}
+        step = make_train_step(2, with_metrics=False)
+        for _ in range(60):  # FP pretrain
+            state, out = step(state, batch)
+        fp_loss = float(out["loss"])
+        assert fp_loss < 0.3
+        scales = quant.calibrate_act_scales(
+            model, {"params": state.params}, [img])
+        state = state.replace(
+            apply_fn=quant.make_fake_quant_apply(model, scales))
+        for _ in range(30):  # QAT finetune through the fake-quant forward
+            state, out = step(state, batch)
+        assert float(out["loss"]) < fp_loss + 0.05, (
+            "QAT finetune regressed the loss")
+        fq = np.asarray(state.apply_fn({"params": state.params}, img,
+                                       train=False))
+        qv, apply_fn, _ = quant.quantize_for_inference(
+            model, {"params": state.params}, None, shape,
+            act_scales=scales)
+        q8 = np.asarray(apply_fn(qv, jnp.asarray(img), train=False))
+        agree = (fq.argmax(-1) == q8.argmax(-1)).mean()
+        assert agree > 0.99, f"QAT->int8 argmax agreement {agree}"
+
+    def test_scales_json_round_trip(self, tmp_path):
+        p = str(tmp_path / "qat_scales.json")
+        scales = {"enc/conv0": 0.0123, "up": 1.5}
+        quant.save_act_scales(p, scales)
+        assert quant.load_act_scales(p) == scales
+
+
 class TestServingIntegration:
     def _quantized_predictor(self, mesh=None, bn=False):
         from semanticsegmentation_tensorflow_tpu.infer.predict import (
