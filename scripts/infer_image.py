@@ -36,6 +36,13 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="post-training int8 forward (activations "
                         "calibrated on the input image itself)")
+    p.add_argument("--tiled", action="store_true",
+                   help="native-resolution sliding-window inference: keep "
+                        "the input at its own size and tile it with "
+                        "overlapped windows of the training resolution "
+                        "(probability-averaged seams) instead of resizing")
+    p.add_argument("--tile-overlap", type=int, default=None,
+                   help="overlap in px between tiles (default: tile/4)")
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
@@ -91,10 +98,23 @@ def main(argv=None):
         variables, apply_fn, scales = quant.quantize_for_inference(
             model, variables, calib, (1, h, w, 3))
         print(f"int8: {len(scales)} activation scales")
-    predictor = Predictor(model, variables, dc.image_size,
-                          mean=dc.mean, std=dc.std, alpha=args.alpha,
-                          apply_fn=apply_fn)
-    overlay, labels = predictor.predict_file(args.image)
+    if args.tiled:
+        from semanticsegmentation_tensorflow_tpu.infer import TiledPredictor
+
+        predictor = TiledPredictor(model, variables, dc.image_size,
+                                   overlap=args.tile_overlap, mean=dc.mean,
+                                   std=dc.std, alpha=args.alpha,
+                                   apply_fn=apply_fn)
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        overlay, labels = predictor(img)
+        print(f"tiled: input {img.shape[0]}x{img.shape[1]}, "
+              f"grid {predictor.grid[0]}x{predictor.grid[1]} tiles of "
+              f"{predictor._tile[0]}x{predictor._tile[1]}")
+    else:
+        predictor = Predictor(model, variables, dc.image_size,
+                              mean=dc.mean, std=dc.std, alpha=args.alpha,
+                              apply_fn=apply_fn)
+        overlay, labels = predictor.predict_file(args.image)
     Image.fromarray(overlay).save(args.out)
     road_frac = float(np.mean(labels != 0))
     print(f"wrote {args.out} (non-background fraction {road_frac:.3f})")

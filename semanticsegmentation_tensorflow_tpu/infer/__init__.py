@@ -9,3 +9,6 @@ from semanticsegmentation_tensorflow_tpu.infer.export import (  # noqa: F401
     export_model,
 )
 from semanticsegmentation_tensorflow_tpu.infer import quant  # noqa: F401
+from semanticsegmentation_tensorflow_tpu.infer.window import (  # noqa: F401
+    TiledPredictor,
+)
