@@ -44,6 +44,11 @@ def main(argv=None):
                         "--calib sweep images; TPU int8 MXU path)")
     p.add_argument("--calib", type=int, default=8,
                    help="calibration images for --int8 (0 = weight-only)")
+    p.add_argument("--confidence", action="store_true",
+                   help="KITTI road devkit SUBMISSION mode: write uint8 "
+                        "road-confidence PNGs (round(P(road)*255), devkit "
+                        "filename convention um_000000 -> um_road_000000) "
+                        "instead of overlays (binary models only)")
     args = p.parse_args(argv)
 
     # after argparse so --help / usage errors never wait on the TPU tunnel
@@ -116,11 +121,36 @@ def main(argv=None):
     predictor = Predictor(model, variables, dc.image_size, mean=dc.mean,
                           std=dc.std, mesh=mesh, apply_fn=apply_fn)
     t0, n = time.perf_counter(), 0
-    for src, dst in save_inference_samples(predictor, ds.test_images,
-                                           args.runs_dir,
-                                           batch_size=args.batch):
-        n += 1
-        print(f"{src} -> {dst}")
+    if args.confidence:
+        # devkit submission sweep: batched confidence maps, L-mode PNGs
+        from PIL import Image
+
+        from semanticsegmentation_tensorflow_tpu.data.kitti import load_image
+
+        out_dir = os.path.join(args.runs_dir,
+                               time.strftime("%Y%m%d-%H%M%S") + "_conf")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = list(ds.test_images)
+        import numpy as np
+        for i in range(0, len(paths), args.batch):
+            chunk = paths[i:i + args.batch]
+            imgs = np.stack([load_image(q, dc.image_size) for q in chunk])
+            conf = predictor.confidence(imgs)
+            for q, c in zip(chunk, conf):
+                stem = os.path.splitext(os.path.basename(q))[0]
+                parts = stem.split("_", 1)  # um_000000 -> um_road_000000
+                name = (f"{parts[0]}_road_{parts[1]}" if len(parts) == 2
+                        else f"{stem}_road")
+                dst = os.path.join(out_dir, name + ".png")
+                Image.fromarray(c, mode="L").save(dst)
+                n += 1
+                print(f"{q} -> {dst}")
+    else:
+        for src, dst in save_inference_samples(predictor, ds.test_images,
+                                               args.runs_dir,
+                                               batch_size=args.batch):
+            n += 1
+            print(f"{src} -> {dst}")
     dt = time.perf_counter() - t0
     if n:
         print(f"{n} images in {dt:.2f}s ({n / dt:.2f} img/s)")

@@ -136,6 +136,49 @@ class Predictor:
                                                out_shardings=bspec)
         self._palette = np.asarray(overlay_palette)
         self._alpha = alpha
+        self._logits_fn = logits_fn
+        self._jfwd_conf = None  # built lazily by confidence()
+
+    def confidence(self, image_u8: np.ndarray) -> np.ndarray:
+        """[N,H,W] (or [H,W]) uint8 road-confidence map: round(P(road)*255)
+        — the KITTI road devkit's SUBMISSION format (its threshold sweep
+        reads a uint8 prob map; see train/metrics.py:kitti_road_metrics,
+        the in-repo evaluator of the same quantization). Binary models
+        only; jitted lazily on first use (mesh-sharded like the label
+        path)."""
+        if self._jfwd_conf is None:
+            logits_fn = self._logits_fn
+
+            def fwd_conf(variables, image_u8):
+                logits = logits_fn(variables, image_u8)
+                if logits.shape[-1] != 2:
+                    raise ValueError("confidence maps need a binary "
+                                     "(num_classes=2) model")
+                p = jax.nn.softmax(logits.astype(jnp.float32), -1)[..., 1]
+                return jnp.round(p * 255.0).astype(jnp.uint8)
+
+            if self._mesh is None:
+                self._jfwd_conf = jax.jit(fwd_conf)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
+                    DATA_AXIS,
+                )
+                repl = NamedSharding(self._mesh, P())
+                bspec = NamedSharding(self._mesh, P(DATA_AXIS))
+                self._jfwd_conf = jax.jit(fwd_conf,
+                                          in_shardings=(repl, bspec),
+                                          out_shardings=bspec)
+        squeeze = image_u8.ndim == 3
+        x = np.asarray(image_u8)[None] if squeeze else np.asarray(image_u8)
+        n_real = x.shape[0]
+        if self._mesh is not None and x.shape[0] % self._mesh.size:
+            pad = (-x.shape[0]) % self._mesh.size
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        out = np.asarray(self._jfwd_conf(self._variables,
+                                         jnp.asarray(x)))[:n_real]
+        return out[0] if squeeze else out
 
     def _fwd(self, image_u8):
         return self._jfwd(self._variables, image_u8)

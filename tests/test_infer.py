@@ -145,3 +145,22 @@ def test_mesh_predictor_matches_single_device():
         assert ov_b.shape == (n, *image_size, 3)
         np.testing.assert_array_equal(lb_a, lb_b)
         np.testing.assert_array_equal(ov_a, ov_b)
+
+
+def test_confidence_maps_match_softmax_oracle():
+    """Predictor.confidence == round(P(class1)*255) of the logits path —
+    the KITTI devkit submission format (uint8 prob map)."""
+    import jax.numpy as jnp
+
+    pred = _predictor()
+    img = np.random.default_rng(5).integers(
+        0, 255, (2, 94, 150, 3)).astype(np.uint8)
+    conf = pred.confidence(img)
+    assert conf.shape == (2, 94, 150) and conf.dtype == np.uint8
+    logits = np.asarray(pred._logits_fn(pred._variables,
+                                        jnp.asarray(img)), np.float32)
+    p1 = np.asarray(jax.nn.softmax(logits, axis=-1))[..., 1]
+    np.testing.assert_array_equal(conf, np.round(p1 * 255).astype(np.uint8))
+    # single-image form squeezes
+    c1 = pred.confidence(img[0])
+    np.testing.assert_array_equal(c1, conf[0])
