@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    help="ZeRO-1: shard the optimizer moments over the 1-D "
                         "data mesh (1/n moment memory per chip; each shard "
                         "updates its param slice, params all_gather)")
+    p.add_argument("--loss", default="ce", choices=("ce", "focal"),
+                   help="training loss: per-pixel CE (reference) or focal "
+                        "(Lin et al. — down-weights easy dominant-class "
+                        "pixels; same masked-sum SPMD-exact form)")
+    p.add_argument("--focal-gamma", type=float, default=2.0,
+                   help="focal-loss focusing exponent (gamma=0 == CE)")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware training: fake-quantize conv "
                         "weights (per-channel int8 grid) and activations "
@@ -376,7 +382,8 @@ def main(argv=None):
                               remat=tr.remat, class_weights=class_weights,
                               grad_accum=args.grad_accum,
                               shard_opt=shard_opt,
-                              state=state if shard_opt else None)
+                              state=state if shard_opt else None,
+                              loss=args.loss, focal_gamma=args.focal_gamma)
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,

@@ -51,6 +51,35 @@ def softmax_cross_entropy_sum(
     return jnp.sum(ce * valid), jnp.sum(valid)
 
 
+def focal_loss_sum(
+    logits: jax.Array,
+    labels_onehot: jax.Array,
+    valid_mask: jax.Array | None = None,
+    class_weights: jax.Array | None = None,
+    gamma: float = 2.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Focal loss (Lin et al.) in the same masked-SUM form as
+    :func:`softmax_cross_entropy_sum` — ``-(1-p_t)^gamma log(p_t)`` per
+    pixel — so every SPMD/grad-accum exactness property carries over
+    unchanged (psum the sums, one global divide). ``gamma=0`` reduces to
+    plain CE bit-for-bit (the modulating factor becomes exactly 1.0).
+    Road scenes are heavily class-imbalanced; focal loss down-weights the
+    easy dominant-class pixels instead of (or on top of) the
+    median-frequency class weighting."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logpt = jnp.sum(labels_onehot * logp, axis=-1)  # [N, H, W]
+    f = -logpt
+    if gamma:
+        f = f * (1.0 - jnp.exp(logpt)) ** gamma
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, f.dtype)
+        f = f * jnp.sum(labels_onehot * w, axis=-1)
+    if valid_mask is None:
+        return jnp.sum(f), jnp.asarray(f.size, f.dtype)
+    valid = valid_mask.astype(f.dtype)
+    return jnp.sum(f * valid), jnp.sum(valid)
+
+
 def softmax_cross_entropy_loss(
     logits: jax.Array,
     labels_onehot: jax.Array,

@@ -28,6 +28,7 @@ from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
     DATA_AXIS, SPATIAL_AXIS, batch_spec,
 )
 from semanticsegmentation_tensorflow_tpu.train.loss import (
+    focal_loss_sum,
     softmax_cross_entropy_sum,
 )
 from semanticsegmentation_tensorflow_tpu.train.metrics import confusion_matrix
@@ -38,7 +39,8 @@ AugmentFn = Callable[[jax.Array, dict], dict]  # (rng, batch) -> batch
 
 def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
                   train: bool, dropout_rng: jax.Array | None = None,
-                  remat: bool = False, class_weights=None):
+                  remat: bool = False, class_weights=None,
+                  loss_sum_fn=softmax_cross_entropy_sum):
     has_bn = bool(jax.tree.leaves(state.batch_stats))
     variables = {"params": params}
     if has_bn:
@@ -65,7 +67,7 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
     # Return the UN-normalized CE sum + valid count; the caller divides by
     # the (psum'd, when sharded) global valid count so mesh and no-mesh
     # training are numerically identical even with uneven masks.
-    ce_sum, valid_sum = softmax_cross_entropy_sum(
+    ce_sum, valid_sum = loss_sum_fn(
         logits, onehot, batch.get("valid"), class_weights)
     return ce_sum, (valid_sum, logits, new_stats)
 
@@ -73,7 +75,8 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
 def _accum_grads(state: TrainState, batch: dict, *, num_classes: int,
                  grad_accum: int, step_rng: jax.Array, remat: bool,
                  with_metrics: bool, class_weights,
-                 augment_fn: AugmentFn | None):
+                 augment_fn: AugmentFn | None,
+                 loss_sum_fn=softmax_cross_entropy_sum):
     """Microbatched fwd+bwd: split the per-device batch into ``grad_accum``
     sequential microbatches via ``lax.scan``, summing the UN-normalized CE,
     valid count, gradients, and confusion matrix.
@@ -111,7 +114,8 @@ def _accum_grads(state: TrainState, batch: dict, *, num_classes: int,
             lambda p: _forward_loss(carry_state, p, mb, num_classes,
                                     train=True, dropout_rng=dropout_rng,
                                     remat=remat,
-                                    class_weights=class_weights),
+                                    class_weights=class_weights,
+                                    loss_sum_fn=loss_sum_fn),
             has_aux=True)
         (ce, (vs, logits, new_stats)), g = grad_fn(state.params)
         if with_metrics:
@@ -184,7 +188,8 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
                      augment_fn: AugmentFn | None, axis: str | None,
                      remat: bool = False, with_metrics: bool = True,
                      class_weights=None, grad_accum: int = 1,
-                     zero1_n: int | None = None):
+                     zero1_n: int | None = None,
+                     loss_sum_fn=softmax_cross_entropy_sum):
     step_rng = jax.random.fold_in(state.rng, state.step)
     if axis is not None:
         # decorrelate augmentation/dropout across shards
@@ -194,7 +199,8 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
         ce_sum, valid_sum, grads, new_stats, cm = _accum_grads(
             state, batch, num_classes=num_classes, grad_accum=grad_accum,
             step_rng=step_rng, remat=remat, with_metrics=with_metrics,
-            class_weights=class_weights, augment_fn=augment_fn)
+            class_weights=class_weights, augment_fn=augment_fn,
+            loss_sum_fn=loss_sum_fn)
         logits = None
     else:
         aug_rng, dropout_rng = jax.random.split(step_rng)
@@ -203,6 +209,7 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
 
         grad_fn = jax.value_and_grad(
             lambda p: _forward_loss(state, p, batch, num_classes, train=True,
+                                    loss_sum_fn=loss_sum_fn,
                                     dropout_rng=dropout_rng, remat=remat,
                                     class_weights=class_weights),
             has_aux=True)
@@ -246,7 +253,9 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
                     remat: bool = False, with_metrics: bool = True,
                     class_weights=None, grad_accum: int = 1,
                     shard_opt: bool = False,
-                    state: TrainState | None = None) -> Callable:
+                    state: TrainState | None = None,
+                    loss: str = "ce",
+                    focal_gamma: float = 2.0) -> Callable:
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
     * no mesh: plain single-device jit.
@@ -274,11 +283,17 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
     """
     if shard_opt and (mesh is None or SPATIAL_AXIS in mesh.axis_names):
         raise ValueError("shard_opt=True (ZeRO-1) requires a 1-D data mesh")
+    if loss == "ce":
+        loss_sum_fn = softmax_cross_entropy_sum
+    elif loss == "focal":
+        loss_sum_fn = partial(focal_loss_sum, gamma=focal_gamma)
+    else:
+        raise ValueError(f"unknown loss {loss!r} (ce | focal)")
     if mesh is None:
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
                        with_metrics=with_metrics, class_weights=class_weights,
-                       grad_accum=grad_accum)
+                       loss_sum_fn=loss_sum_fn, grad_accum=grad_accum)
         return jax.jit(body, donate_argnums=(0,))
 
     if SPATIAL_AXIS in mesh.axis_names:
@@ -289,7 +304,7 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
         body = partial(_train_step_body, num_classes=num_classes,
                        augment_fn=augment_fn, axis=None, remat=remat,
                        with_metrics=with_metrics, class_weights=class_weights,
-                       grad_accum=grad_accum)
+                       loss_sum_fn=loss_sum_fn, grad_accum=grad_accum)
         bspec = NamedSharding(mesh, batch_spec(mesh))
         repl = NamedSharding(mesh, P())
         return jax.jit(
@@ -313,7 +328,7 @@ def make_train_step(num_classes: int, mesh: Mesh | None = None,
     body = partial(_train_step_body, num_classes=num_classes,
                    augment_fn=augment_fn, axis=DATA_AXIS, remat=remat,
                    with_metrics=with_metrics, class_weights=class_weights,
-                   grad_accum=grad_accum, zero1_n=zero1_n)
+                   loss_sum_fn=loss_sum_fn, grad_accum=grad_accum, zero1_n=zero1_n)
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_spec, P(DATA_AXIS)),
