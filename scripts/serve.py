@@ -88,8 +88,15 @@ def build_predictor(args):
             model, variables, calib, (1, h, w, 3))
         print(f"int8 serving: {len(scales)} activation scales"
               + (" (weight-only)" if not scales else ""))
+    mesh = None
+    if getattr(args, "mesh", False) and len(jax.devices()) > 1:
+        from semanticsegmentation_tensorflow_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"mesh serving over {mesh.size} devices")
     return Predictor(model, variables, dc.image_size, mean=dc.mean,
-                     std=dc.std, alpha=args.alpha, apply_fn=apply_fn)
+                     std=dc.std, alpha=args.alpha, apply_fn=apply_fn,
+                     mesh=mesh)
 
 
 def make_handler(predictor, stats):
@@ -180,6 +187,11 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA params (checkpoint must be trained "
                         "with --ema-decay)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard each request batch over all devices (1-D "
+                        "data mesh, params replicated) — multi-chip "
+                        "serving; single-image requests still work (the "
+                        "Predictor pads to the mesh size)")
     p.add_argument("--int8", action="store_true",
                    help="post-training int8 serving (per-channel weights; "
                         "activations calibrated from --calib-dir images, "

@@ -188,12 +188,21 @@ class Predictor:
 
     def _fetch_labels(self, image_u8) -> np.ndarray:
         """Device forward + packed label fetch + host unpack (the sweep's
-        fetch leg: bit/nibble-packed wire format, ops/labelpack.py)."""
+        fetch leg: bit/nibble-packed wire format, ops/labelpack.py).
+        Ragged batches pad to the mesh size like ``__call__`` (the server
+        feeds single images; the sweep pre-pads)."""
         from semanticsegmentation_tensorflow_tpu.ops.labelpack import (
             unpack_labels)
+        n_real = image_u8.shape[0]
+        if self._mesh is not None and n_real % self._mesh.size:
+            pad = (-n_real) % self._mesh.size
+            arr = np.asarray(image_u8)
+            image_u8 = np.concatenate(
+                [arr, np.repeat(arr[-1:], pad, axis=0)])
         packed = np.asarray(self._jfwd_labels_packed(self._variables,
                                                      image_u8))
-        return unpack_labels(packed, self.image_size[1], self._pack_mode)
+        return unpack_labels(packed, self.image_size[1],
+                             self._pack_mode)[:n_real]
 
     def __call__(self, image_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """[H,W,3] or [N,H,W,3] uint8 -> (overlay u8, labels i32), same rank."""

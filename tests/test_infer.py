@@ -164,3 +164,26 @@ def test_confidence_maps_match_softmax_oracle():
     # single-image form squeezes
     c1 = pred.confidence(img[0])
     np.testing.assert_array_equal(c1, conf[0])
+
+
+def test_mesh_fetch_labels_pads_ragged_batch():
+    """The server feeds single images to a mesh Predictor; _fetch_labels
+    must pad to the mesh size and trim (regression: unpadded batch-1
+    requests failed to shard over a >1-device mesh)."""
+    from jax.sharding import Mesh
+
+    from semanticsegmentation_tensorflow_tpu.parallel.mesh import DATA_AXIS
+
+    image_size = (94, 150)
+    single = _predictor(image_size)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), (DATA_AXIS,))
+    model = UNet(num_classes=2, base_features=8)
+    vs = model.init(jax.random.key(0),
+                    np.zeros((1, 96, 160, 3), np.float32), train=False)
+    meshed = Predictor(model, vs, image_size, mesh=mesh)
+    img = np.random.default_rng(7).integers(
+        0, 255, (1, 94, 150, 3)).astype(np.uint8)
+    lb_m = meshed._fetch_labels(img)
+    lb_s = single._fetch_labels(img)
+    assert lb_m.shape == (1, 94, 150)
+    np.testing.assert_array_equal(lb_m, lb_s)

@@ -414,3 +414,18 @@ class TestServingIntegration:
                                    float(out["loss"]), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(out2["cm"]),
                                       np.asarray(out["cm"]))
+
+        # quantized eval under the shard_map mesh == single-device
+        # (the eval.py --int8 --mesh path)
+        from jax.sharding import Mesh
+
+        from semanticsegmentation_tensorflow_tpu.parallel import replicate
+        from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
+            DATA_AXIS,
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:4]), (DATA_AXIS,))
+        mout = make_eval_step(2, mesh=mesh)(replicate(qstate, mesh), batch)
+        np.testing.assert_allclose(float(mout["loss"]),
+                                   float(out["loss"]), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mout["cm"]),
+                                      np.asarray(out["cm"]))
