@@ -72,6 +72,11 @@ run 2700 07b3_deeplab16_asppsplit python tools/bench_flags.py --model deeplab \
 run 2700 07c_deeplab16_b16 python tools/bench_flags.py --model deeplab \
     --batch 16 --ab 'output_stride=16' --steps 10
 
+# 7d. int8 PTQ serving A/B + per-op attribution (runbook item 9): does
+#     XLA hit the v5e int8 MXU (conv fusions ~2x the bf16 rows) or
+#     emulate? The sweep (02_all) already logs fcn8s_int8_infer_b8.
+run 2700 07d_prof_int8 python tools/profile_int8.py --batch 8 --steps 10
+
 # 8. per-op profiles for the ceiling subsections
 run 2400 08_prof_segnet python tools/profile_step.py --model segnet --batch 8 --top 50
 run 2400 09_prof_unet_fullres python tools/profile_step.py --model unet --batch 8 --top 50
