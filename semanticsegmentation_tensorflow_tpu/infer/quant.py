@@ -242,6 +242,76 @@ def make_apply(model: nn.Module,
     return apply_fn
 
 
+def fold_batchnorm(variables: dict, eps: float = 1e-5
+                   ) -> tuple[dict, int]:
+    """Fold inference-mode BatchNorm into the preceding conv's kernel/bias
+    (the classic serving transform): with ``g = scale/sqrt(var+eps)``,
+    ``k' = k*g``, ``b' = (b-mean)*g + bn_bias``; the BN entry is then
+    neutralized (scale=1, bias=0, mean=0, var=1-eps — exactly identity
+    through flax's eval-mode normalization), so the SAME model computes
+    the same function with the BN reduced to a no-op.
+
+    Pairs conv/BN siblings by this repo's naming conventions —
+    ``conv{i}``/``bn{i}`` (models/common.py:ConvBlock) and
+    ``{name}``/``{name}_bn`` (models/deeplab.py:ASPP) — and only folds
+    when BN directly follows the conv (true for both patterns:
+    conv -> bn -> relu). Returns ``(folded_variables, n_folded)``.
+
+    Serving value: deletes the BN normalize/scale/shift work per layer,
+    and gives int8 quantization a single folded kernel to scale
+    per-channel (``quantize_for_inference`` folds automatically when
+    batch_stats are present). Eval-mode only — training needs live BN.
+    """
+    if not variables.get("batch_stats"):
+        return variables, 0
+    out = flax.core.unfreeze(variables)
+    params = jax.tree.map(np.asarray, out["params"])
+    stats = jax.tree.map(np.asarray, out["batch_stats"])
+    n = [0]
+
+    def walk(pnode, snode):
+        if not isinstance(pnode, dict):
+            return
+        for bn_name in list(pnode):
+            bn_p = pnode.get(bn_name)
+            bn_s = (snode or {}).get(bn_name)
+            if not (isinstance(bn_p, dict) and isinstance(bn_s, dict)
+                    and "scale" in bn_p and "mean" in bn_s):
+                continue
+            if bn_name.startswith("bn"):
+                conv_name = "conv" + bn_name[2:]
+            elif bn_name.endswith("_bn"):
+                conv_name = bn_name[:-3]
+            else:
+                continue
+            conv = pnode.get(conv_name)
+            if not (isinstance(conv, dict) and "kernel" in conv
+                    and "bias" in conv
+                    and np.ndim(conv["kernel"]) >= 2
+                    and conv["kernel"].dtype != np.int8
+                    and conv["kernel"].shape[-1] == bn_p["scale"].shape[0]):
+                continue
+            g = (bn_p["scale"].astype(np.float64)
+                 / np.sqrt(bn_s["var"].astype(np.float64) + eps))
+            conv["kernel"] = (conv["kernel"].astype(np.float64) * g
+                              ).astype(conv["kernel"].dtype)
+            conv["bias"] = (
+                (conv["bias"].astype(np.float64) - bn_s["mean"]) * g
+                + bn_p["bias"]).astype(conv["bias"].dtype)
+            bn_p["scale"] = np.ones_like(bn_p["scale"])
+            bn_p["bias"] = np.zeros_like(bn_p["bias"])
+            bn_s["mean"] = np.zeros_like(bn_s["mean"])
+            bn_s["var"] = np.full_like(bn_s["var"], 1.0 - eps)
+            n[0] += 1
+        for k, v in pnode.items():
+            if isinstance(v, dict):
+                walk(v, (snode or {}).get(k))
+
+    walk(params, stats)
+    out["params"], out["batch_stats"] = params, stats
+    return out, n[0]
+
+
 def _ste(x: jax.Array, quantized: jax.Array) -> jax.Array:
     """Straight-through estimator: forward = ``quantized``, gradient =
     identity w.r.t. ``x`` (the standard QAT trick — the rounding step
@@ -367,6 +437,10 @@ def quantize_for_inference(model: nn.Module, variables: dict,
     :func:`load_act_scales`) skips calibration and uses the given scales
     verbatim.
     """
+    # fold BN FIRST so calibration sees (and the int8 grid scales) the
+    # folded kernels — BN rescaling would otherwise sit outside the
+    # per-channel weight quantization
+    variables, _ = fold_batchnorm(variables)
     if act_scales is not None:
         scales = dict(act_scales)
     else:

@@ -220,6 +220,79 @@ class TestModelFamilies:
         assert agree > 0.97, f"argmax agreement {agree}"
 
 
+class TestBNFold:
+    def _trained_bn_state(self, name, kw, shape=(4, 32, 32, 3), steps=5):
+        """A BN model with NON-trivial running stats (fresh init is
+        mean=0/var=1, which folds trivially)."""
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            create_train_state, make_optimizer,
+        )
+        from semanticsegmentation_tensorflow_tpu.train.step import (
+            make_train_step,
+        )
+        model = build_model(name, num_classes=2, use_bn=True,
+                            dtype=jnp.float32, **kw)
+        state = create_train_state(model, jax.random.key(0), shape,
+                                   make_optimizer("adam", 1e-3))
+        rng = np.random.default_rng(11)
+        batch = {"image": rng.normal(size=shape).astype(np.float32) * 3,
+                 "label": rng.integers(0, 2, shape[:3]).astype(np.int32),
+                 "valid": np.ones(shape[:3], bool)}
+        step = make_train_step(2, with_metrics=False)
+        for _ in range(steps):
+            state, _ = step(state, batch)
+        v = {"params": state.params, "batch_stats": state.batch_stats}
+        return model, jax.tree.map(np.asarray, v), batch["image"]
+
+    @pytest.mark.parametrize("name,kw", [
+        ("unet", dict(base_features=8)),
+        ("deeplab", dict(width_mult=0.125, aspp_features=16)),
+    ], ids=["unet", "deeplab"])
+    def test_fold_preserves_eval_function(self, name, kw):
+        model, v, img = self._trained_bn_state(name, kw)
+        fv, n = quant.fold_batchnorm(v)
+        assert n > 0, "no conv/BN pairs folded"
+        a = np.asarray(model.apply(v, img, train=False), np.float32)
+        b = np.asarray(model.apply(fv, img, train=False), np.float32)
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4)
+        # stats actually moved (the fold was non-trivial)
+        assert any(abs(np.asarray(s)).max() > 1e-3
+                   for s in jax.tree.leaves(v["batch_stats"])
+                   if s.size)
+
+    def test_bn_entries_neutralized(self):
+        model, v, img = self._trained_bn_state("unet",
+                                               dict(base_features=8))
+        fv, n = quant.fold_batchnorm(v)
+        assert n > 0
+        # every folded bn: scale==1, bias==0, mean==0, var==1-eps
+        def check(node, stats):
+            for k, p in node.items():
+                if isinstance(p, dict) and "scale" in p and k in stats \
+                        and isinstance(stats[k], dict) \
+                        and "mean" in stats[k]:
+                    np.testing.assert_array_equal(p["scale"],
+                                                  np.ones_like(p["scale"]))
+                    np.testing.assert_array_equal(
+                        stats[k]["mean"], np.zeros_like(stats[k]["mean"]))
+                elif isinstance(p, dict):
+                    check(p, stats.get(k, {}))
+        check(fv["params"], fv["batch_stats"])
+
+    def test_int8_on_bn_model_folds_automatically(self):
+        model, v, img = self._trained_bn_state("unet",
+                                               dict(base_features=8))
+        qv, apply_fn, scales = quant.quantize_for_inference(
+            model, v, [img], img.shape)
+        assert scales
+        fp = np.asarray(model.apply(v, img, train=False), np.float32)
+        q8 = np.asarray(apply_fn(qv, jnp.asarray(img), train=False),
+                        np.float32)
+        assert np.isfinite(q8).all()
+        agree = (fp.argmax(-1) == q8.argmax(-1)).mean()
+        assert agree > 0.95, f"BN-folded int8 argmax agreement {agree}"
+
+
 class TestQAT:
     def test_on_grid_weights_pass_through_with_exact_grads(self):
         """Weights already ON the int8 grid (integer values, amax=127 per
