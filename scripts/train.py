@@ -60,6 +60,12 @@ def parse_args(argv=None):
                    help="ZeRO-1: shard the optimizer moments over the 1-D "
                         "data mesh (1/n moment memory per chip; each shard "
                         "updates its param slice, params all_gather)")
+    p.add_argument("--scale-jitter", default=None,
+                   help="comma-separated random-scale-augmentation set, "
+                        "e.g. 0.75,1.0,1.25 — one scale drawn per step "
+                        "(static-shape lax.switch; zoom-out pads with "
+                        "valid=0). Not with --spatial or "
+                        "--pallas-preprocess.")
     p.add_argument("--loss", default="ce", choices=("ce", "focal"),
                    help="training loss: per-pixel CE (reference) or focal "
                         "(Lin et al. — down-weights easy dominant-class "
@@ -245,6 +251,12 @@ def main(argv=None):
         print("note: --pallas-preprocess is unsupported with --spatial>1 "
               "(SPMD cannot partition through pallas_call); using XLA path")
         args.pallas_preprocess = False
+    jitter = (tuple(float(s) for s in args.scale_jitter.split(","))
+              if args.scale_jitter else None)
+    if jitter and (args.spatial > 1 or args.pallas_preprocess):
+        print("note: --scale-jitter needs the jnp augment path on an "
+              "unsharded image; ignored")
+        jitter = None
     if args.pallas_preprocess:
         from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
             make_pallas_augment_fn,
@@ -253,7 +265,10 @@ def main(argv=None):
                                      random_flip=dc.random_flip)
     else:
         aug = make_augment_fn(dc.mean, dc.std, crop_size=dc.crop_size,
-                              random_flip=dc.random_flip)
+                              random_flip=dc.random_flip,
+                              scale_jitter=jitter)
+        if jitter:
+            print(f"scale jitter: {list(jitter)} (one scale per step)")
     if dc.crop_size:
         h, w = dc.crop_size
     else:

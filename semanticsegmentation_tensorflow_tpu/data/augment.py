@@ -69,9 +69,70 @@ def _augment_one(rng: jax.Array, img: jax.Array, lbl: jax.Array,
     return img, lbl, val
 
 
+def _scale_jitter_batch(rng: jax.Array, img: jax.Array, lbl: jax.Array,
+                        val: jax.Array, scales: tuple[float, ...]):
+    """Per-BATCH random scale jitter with fully static shapes.
+
+    One scale index is drawn per step and dispatched through
+    ``lax.switch`` — every branch is a statically-shaped resize back to
+    the input (h, w): zoom-IN resizes up then takes a random (h, w) crop;
+    zoom-OUT resizes down and places the small image at a random offset
+    on a zero canvas whose outside is ``valid=0`` (masked from loss and
+    metrics). Images resize bilinearly (in f32, rounded back to the input
+    dtype), labels and validity nearest — the standard DeepLab-lineage
+    scale augmentation, shaped for XLA: exactly ONE branch executes per
+    step and no shape depends on the drawn scale.
+
+    Per-batch (not per-example) keeps the cost of the untaken branches
+    zero — a vmapped switch would compute every scale for every image.
+    """
+    n, h, w = lbl.shape
+    k_s, k_y, k_x = jax.random.split(rng, 3)
+
+    def branch(s: float):
+        hs, ws = max(1, int(round(h * s))), max(1, int(round(w * s)))
+
+        def f(img, lbl, val, k_y, k_x):
+            if (hs, ws) == (h, w):
+                return img, lbl, val
+            im = jax.image.resize(img.astype(jnp.float32),
+                                  (n, hs, ws, img.shape[-1]), "bilinear")
+            im = (jnp.clip(jnp.round(im), 0, 255).astype(img.dtype)
+                  if jnp.issubdtype(img.dtype, jnp.integer) else
+                  im.astype(img.dtype))
+            lb = jax.image.resize(lbl, (n, hs, ws), "nearest")
+            va = jax.image.resize(val, (n, hs, ws), "nearest")
+            if hs >= h and ws >= w:  # zoom in: random crop back
+                oy = jax.random.randint(k_y, (), 0, hs - h + 1)
+                ox = jax.random.randint(k_x, (), 0, ws - w + 1)
+                im = lax.dynamic_slice(im, (0, oy, ox, 0),
+                                       (n, h, w, im.shape[-1]))
+                lb = lax.dynamic_slice(lb, (0, oy, ox), (n, h, w))
+                va = lax.dynamic_slice(va, (0, oy, ox), (n, h, w))
+                return im, lb, va
+            # zoom out: place on a zero canvas, valid=0 outside
+            oy = jax.random.randint(k_y, (), 0, h - hs + 1)
+            ox = jax.random.randint(k_x, (), 0, w - ws + 1)
+            im = lax.dynamic_update_slice(
+                jnp.zeros((n, h, w, img.shape[-1]), im.dtype), im,
+                (0, oy, ox, 0))
+            lb = lax.dynamic_update_slice(
+                jnp.zeros((n, h, w), lb.dtype), lb, (0, oy, ox))
+            va = lax.dynamic_update_slice(
+                jnp.zeros((n, h, w), va.dtype), va, (0, oy, ox))
+            return im, lb, va
+
+        return f
+
+    idx = jax.random.randint(k_s, (), 0, len(scales))
+    return lax.switch(idx, [branch(s) for s in scales],
+                      img, lbl, val, k_y, k_x)
+
+
 def make_augment_fn(mean: Sequence[float], std: Sequence[float],
                     crop_size: tuple[int, int] | None = None,
-                    random_flip: bool = True):
+                    random_flip: bool = True,
+                    scale_jitter: Sequence[float] | None = None):
     """Returns ``augment(rng, batch) -> batch`` for use inside the train step.
 
     Input batch images may be uint8 (preferred: 4x less HBM/PCIe traffic) or
@@ -79,20 +140,26 @@ def make_augment_fn(mean: Sequence[float], std: Sequence[float],
     """
 
     aug_one = partial(_augment_one, crop_hw=crop_size, random_flip=random_flip)
+    scales = (tuple(float(s) for s in scale_jitter)
+              if scale_jitter else None)
 
     def augment(rng: jax.Array, batch: dict) -> dict:
         n = batch["label"].shape[0]
         val = batch.get("valid")
         if val is None:
             val = jnp.ones(batch["label"].shape, jnp.bool_)
+        img_j, lbl_j, val_j = batch["image"], batch["label"], val
+        if scales:
+            k_jit, rng = jax.random.split(rng)
+            img_j, lbl_j, val_j = _scale_jitter_batch(
+                k_jit, img_j, lbl_j, val_j, scales)
         keys = jax.random.split(rng, n)
         # Flip/crop in the UINT8 domain, normalize after: a spatial
         # permutation commutes exactly with the per-channel elementwise
         # normalize (bit-identical results, tested), and the flip's
         # rev+select chain then moves 4x fewer bytes than on the f32
         # image it used to run on.
-        img, lbl, val = jax.vmap(aug_one)(keys, batch["image"],
-                                          batch["label"], val)
+        img, lbl, val = jax.vmap(aug_one)(keys, img_j, lbl_j, val_j)
         img = normalize_images(img, mean, std)
         return {"image": img, "label": lbl, "valid": val}
 

@@ -246,3 +246,75 @@ def test_batch_loader_cache_is_byte_bounded(tmp_path):
         assert tiny._cache_used <= 2 * one_ex
     assert len(big._cache) == 6       # all 6 fit under the default budget
     assert off._cache is None
+
+
+class TestScaleJitter:
+    def _batch(self, n=2, h=24, w=32, seed=0):
+        rng = np.random.default_rng(seed)
+        return (rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8),
+                rng.integers(0, 2, (n, h, w)).astype(np.int32),
+                np.ones((n, h, w), bool))
+
+    def test_identity_scale_is_noop(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _scale_jitter_batch,
+        )
+        img, lbl, val = self._batch()
+        i2, l2, v2 = _scale_jitter_batch(jax.random.key(0), img, lbl, val,
+                                         (1.0,))
+        np.testing.assert_array_equal(np.asarray(i2), img)
+        np.testing.assert_array_equal(np.asarray(l2), lbl)
+        np.testing.assert_array_equal(np.asarray(v2), val)
+
+    def test_zoom_out_masks_canvas(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _scale_jitter_batch,
+        )
+        img, lbl, val = self._batch()
+        n, h, w = lbl.shape
+        i2, l2, v2 = _scale_jitter_batch(jax.random.key(1), img, lbl, val,
+                                         (0.5,))
+        assert i2.shape == img.shape and l2.shape == lbl.shape
+        hs, ws = round(h * 0.5), round(w * 0.5)
+        v2 = np.asarray(v2)
+        assert int(v2.sum()) == n * hs * ws  # exactly the placed region
+        # labels outside the placed region are 0 (masked anyway)
+        assert int(np.asarray(l2)[~v2].sum()) == 0
+
+    def test_zoom_in_keeps_full_validity(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _scale_jitter_batch,
+        )
+        img, lbl, val = self._batch()
+        i2, l2, v2 = _scale_jitter_batch(jax.random.key(2), img, lbl, val,
+                                         (1.5,))
+        assert i2.shape == img.shape
+        assert np.asarray(v2).all()
+        assert i2.dtype == np.uint8
+
+    def test_all_scales_drawn(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _scale_jitter_batch,
+        )
+        img, lbl, val = self._batch(n=1, h=16, w=16)
+        seen = set()
+        jit = jax.jit(lambda k: _scale_jitter_batch(
+            k, img, lbl, val, (0.5, 0.75, 1.0))[2].sum())
+        for i in range(24):
+            s = int(jit(jax.random.key(i)))
+            seen.add(s)
+        assert seen == {64, 144, 256}, seen  # 8*8, 12*12, full
+
+    def test_augment_fn_integration(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            make_augment_fn,
+        )
+        img, lbl, val = self._batch(n=4, h=24, w=32)
+        aug = make_augment_fn((0.0,) * 3, (1.0,) * 3, crop_size=(16, 16),
+                              random_flip=True,
+                              scale_jitter=(0.75, 1.0, 1.25))
+        out = jax.jit(aug)(jax.random.key(3),
+                           {"image": img, "label": lbl, "valid": val})
+        assert out["image"].shape == (4, 16, 16, 3)
+        assert out["image"].dtype == np.float32
+        assert out["label"].shape == (4, 16, 16)
