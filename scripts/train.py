@@ -66,6 +66,11 @@ def parse_args(argv=None):
                         "(static-shape lax.switch; zoom-out pads with "
                         "valid=0). Not with --spatial or "
                         "--pallas-preprocess.")
+    p.add_argument("--color-jitter", default=None,
+                   help="photometric augmentation magnitudes "
+                        "'brightness,contrast,saturation' (e.g. "
+                        "0.2,0.2,0.2) — per-example, fused elementwise "
+                        "into the step (not with --pallas-preprocess)")
     p.add_argument("--loss", default="ce", choices=("ce", "focal"),
                    help="training loss: per-pixel CE (reference) or focal "
                         "(Lin et al. — down-weights easy dominant-class "
@@ -257,6 +262,11 @@ def main(argv=None):
         print("note: --scale-jitter needs the jnp augment path on an "
               "unsharded image; ignored")
         jitter = None
+    color = (tuple(float(v) for v in args.color_jitter.split(","))
+             if args.color_jitter else None)
+    if color and args.pallas_preprocess:
+        print("note: --color-jitter needs the jnp augment path; ignored")
+        color = None
     if args.pallas_preprocess:
         from semanticsegmentation_tensorflow_tpu.ops.pallas.preprocess import (
             make_pallas_augment_fn,
@@ -266,9 +276,11 @@ def main(argv=None):
     else:
         aug = make_augment_fn(dc.mean, dc.std, crop_size=dc.crop_size,
                               random_flip=dc.random_flip,
-                              scale_jitter=jitter)
+                              scale_jitter=jitter, color_jitter=color)
         if jitter:
             print(f"scale jitter: {list(jitter)} (one scale per step)")
+        if color:
+            print(f"color jitter: b/c/s = {list(color)}")
     if dc.crop_size:
         h, w = dc.crop_size
     else:

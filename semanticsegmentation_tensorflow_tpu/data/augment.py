@@ -49,9 +49,43 @@ def sample_augment_params(rng: jax.Array, n: int, h: int, w: int,
     return flip, oy, ox
 
 
+def _color_jitter_one(rng: jax.Array, img: jax.Array,
+                      bcs: tuple[float, float, float]) -> jax.Array:
+    """Per-example photometric jitter on ONE [H, W, 3] image (uint8 or
+    float, 0..255 domain): additive brightness in ±b*255, contrast about
+    the image's gray mean by a factor in [1-c, 1+c], saturation toward
+    per-pixel luma by a factor in [1-s, 1+s]. Pure elementwise f32 math —
+    XLA fuses it into the normalize; labels untouched."""
+    b, c, s = bcs
+    kb, kc, ks = jax.random.split(rng, 3)
+    x = img.astype(jnp.float32)
+    luma_w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    if s:
+        luma = jnp.sum(x * luma_w, axis=-1, keepdims=True)
+        fs = jax.random.uniform(ks, (), minval=1.0 - s, maxval=1.0 + s)
+        x = luma + (x - luma) * fs
+    if c:
+        m = jnp.mean(jnp.sum(x * luma_w, axis=-1))
+        fc = jax.random.uniform(kc, (), minval=1.0 - c, maxval=1.0 + c)
+        x = m + (x - m) * fc
+    if b:
+        x = x + jax.random.uniform(kb, (), minval=-b, maxval=b) * 255.0
+    x = jnp.clip(x, 0.0, 255.0)
+    return (jnp.round(x).astype(img.dtype)
+            if jnp.issubdtype(img.dtype, jnp.integer) else
+            x.astype(img.dtype))
+
+
 def _augment_one(rng: jax.Array, img: jax.Array, lbl: jax.Array,
                  val: jax.Array, *, crop_hw: tuple[int, int] | None,
-                 random_flip: bool):
+                 random_flip: bool,
+                 color_jitter: tuple[float, float, float] | None = None):
+    if color_jitter is not None:
+        # fold the extra key off the TOP so the flip/crop stream with
+        # jitter OFF stays bit-identical to the pre-jitter code (the
+        # Pallas preprocess parity tests pin that stream)
+        rng, k_col = jax.random.split(rng)
+        img = _color_jitter_one(k_col, img, color_jitter)
     k_flip, k_y, k_x = jax.random.split(rng, 3)
     if random_flip:
         do = jax.random.bernoulli(k_flip)
@@ -132,14 +166,21 @@ def _scale_jitter_batch(rng: jax.Array, img: jax.Array, lbl: jax.Array,
 def make_augment_fn(mean: Sequence[float], std: Sequence[float],
                     crop_size: tuple[int, int] | None = None,
                     random_flip: bool = True,
-                    scale_jitter: Sequence[float] | None = None):
+                    scale_jitter: Sequence[float] | None = None,
+                    color_jitter: Sequence[float] | None = None):
     """Returns ``augment(rng, batch) -> batch`` for use inside the train step.
 
     Input batch images may be uint8 (preferred: 4x less HBM/PCIe traffic) or
     float; output images are normalized float32 of shape [N, *crop_size, 3].
     """
 
-    aug_one = partial(_augment_one, crop_hw=crop_size, random_flip=random_flip)
+    color = tuple(float(v) for v in color_jitter) if color_jitter else None
+    if color is not None and (len(color) != 3 or any(v < 0 for v in color)):
+        raise ValueError("color_jitter must be 3 non-negative magnitudes "
+                         "(brightness, contrast, saturation)")
+    aug_one = partial(_augment_one, crop_hw=crop_size,
+                      random_flip=random_flip,
+                      color_jitter=color if color and any(color) else None)
     scales = (tuple(float(s) for s in scale_jitter)
               if scale_jitter else None)
 

@@ -318,3 +318,68 @@ class TestScaleJitter:
         assert out["image"].shape == (4, 16, 16, 3)
         assert out["image"].dtype == np.float32
         assert out["label"].shape == (4, 16, 16)
+
+
+class TestColorJitter:
+    def _img(self, seed=0, h=16, w=16):
+        return np.asarray(np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3)), np.uint8)
+
+    def test_zero_magnitudes_identity(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            make_augment_fn,
+        )
+        img = self._img()[None]
+        lbl = np.zeros((1, 16, 16), np.int32)
+        # color_jitter=(0,0,0) must not even change the RNG stream: the
+        # output is bit-identical to color_jitter=None
+        a0 = make_augment_fn((0.0,) * 3, (1.0,) * 3, random_flip=True)
+        a1 = make_augment_fn((0.0,) * 3, (1.0,) * 3, random_flip=True,
+                             color_jitter=(0, 0, 0))
+        k = jax.random.key(0)
+        o0 = a0(k, {"image": img, "label": lbl})
+        o1 = a1(k, {"image": img, "label": lbl})
+        np.testing.assert_array_equal(np.asarray(o0["image"]),
+                                      np.asarray(o1["image"]))
+
+    def test_brightness_shifts_mean(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _color_jitter_one,
+        )
+        img = np.full((8, 8, 3), 100, np.uint8)
+        outs = [float(np.asarray(_color_jitter_one(
+            jax.random.key(i), img, (0.3, 0.0, 0.0))).mean())
+            for i in range(8)]
+        assert max(outs) - min(outs) > 5  # brightness actually varies
+        # uniform shift: image stays constant-valued per draw
+        o = np.asarray(_color_jitter_one(jax.random.key(0), img,
+                                         (0.3, 0.0, 0.0)))
+        assert o.std() <= 0.5 and o.dtype == np.uint8
+
+    def test_full_saturation_jitter_reaches_gray(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _color_jitter_one,
+        )
+        img = self._img(1)
+        # s=1 -> factor in [0, 2]; factor 0 is grayscale. Check the OUTPUT
+        # stays valid and some draw reduces channel spread vs the input.
+        spread_in = np.asarray(img, np.float32).std(axis=-1).mean()
+        spreads = []
+        for i in range(8):
+            o = np.asarray(_color_jitter_one(jax.random.key(i), img,
+                                             (0.0, 0.0, 1.0)), np.float32)
+            spreads.append(o.std(axis=-1).mean())
+        assert min(spreads) < spread_in * 0.6
+        assert max(spreads) <= spread_in * 2.2 + 1
+
+    def test_determinism_and_range(self):
+        from semanticsegmentation_tensorflow_tpu.data.augment import (
+            _color_jitter_one,
+        )
+        img = self._img(2)
+        a = np.asarray(_color_jitter_one(jax.random.key(3), img,
+                                         (0.2, 0.2, 0.2)))
+        b = np.asarray(_color_jitter_one(jax.random.key(3), img,
+                                         (0.2, 0.2, 0.2)))
+        np.testing.assert_array_equal(a, b)
+        assert a.min() >= 0 and a.max() <= 255
