@@ -66,6 +66,16 @@ def parse_args(argv=None):
                         "(static-shape lax.switch; zoom-out pads with "
                         "valid=0). Not with --spatial or "
                         "--pallas-preprocess.")
+    p.add_argument("--val-frac", type=float, default=0.0,
+                   help="hold out this fraction of the train images as a "
+                        "validation split (KITTI has no labeled val GT), "
+                        "evaluated every --val-every epochs; val_loss/"
+                        "val_miou land in the epoch summary + JSONL log")
+    p.add_argument("--val-every", type=int, default=1,
+                   help="epochs between validation passes (--val-frac)")
+    p.add_argument("--keep-best", action="store_true",
+                   help="also checkpoint to <checkpoint-dir>/best whenever "
+                        "val mIoU improves (needs --val-frac)")
     p.add_argument("--color-jitter", default=None,
                    help="photometric augmentation magnitudes "
                         "'brightness,contrast,saturation' (e.g. "
@@ -154,7 +164,7 @@ def main(argv=None):
     from semanticsegmentation_tensorflow_tpu.config import get_preset
     from semanticsegmentation_tensorflow_tpu.data import (
         build_dataset, generate_synthetic_cityscapes, generate_synthetic_kitti,
-        make_augment_fn,
+        make_augment_fn, normalize_images,
     )
     from semanticsegmentation_tensorflow_tpu.data.pipeline import BatchLoader
     from semanticsegmentation_tensorflow_tpu.models import build_model
@@ -211,6 +221,20 @@ def main(argv=None):
     # validate data before any device work (TPU compiles take minutes; a bad
     # --data-dir should fail in milliseconds)
     ds = build_dataset(dc.dataset, data_dir, dc.image_size)
+    val_ds = None
+    if args.val_frac:
+        from semanticsegmentation_tensorflow_tpu.data.pipeline import (
+            subset_dataset,
+        )
+        paths = list(ds.train_images)
+        k = max(1, int(round(len(paths) * args.val_frac)))
+        if k >= len(paths):
+            p.error(f"--val-frac {args.val_frac} leaves no training images")
+        val_ds = subset_dataset(ds, paths[-k:])
+        ds = subset_dataset(ds, paths[:-k])
+        print(f"val split: {k} images held out, {len(paths) - k} train")
+    elif args.keep_best:
+        p.error("--keep-best needs --val-frac")
     n_train = len(ds.train_images)
 
     from semanticsegmentation_tensorflow_tpu.config import parse_model_kw
@@ -411,14 +435,48 @@ def main(argv=None):
                               shard_opt=shard_opt,
                               state=state if shard_opt else None,
                               loss=args.loss, focal_gamma=args.focal_gamma)
+    val_fn, best_ckpt = None, None
+    if val_ds is not None:
+        from semanticsegmentation_tensorflow_tpu.train import make_eval_step
+        from semanticsegmentation_tensorflow_tpu.train.metrics import (
+            SegMetrics,
+        )
+
+        vmesh = mesh if mesh_kind == "1d-data" else None
+        if mesh is not None and vmesh is None:
+            print("note: validation runs unsharded under this mesh")
+        val_loader = BatchLoader(val_ds, tr.batch_size, pad_multiple=stride,
+                                 drop_remainder=False, mesh=vmesh)
+        veval = make_eval_step(dc.num_classes, mesh=vmesh)
+        vnorm = jax.jit(lambda b: dict(
+            b, image=normalize_images(b["image"], dc.mean, dc.std)))
+
+        def val_fn(state):
+            # opt_state may be ZeRO-1-sharded; eval only reads params
+            est = state.replace(opt_state={})
+            m = SegMetrics.zero(dc.num_classes)
+            for b in val_loader.epoch():
+                out = veval(est, vnorm(b))
+                m = m.update(out["cm"], out["loss"])
+            s = m.summary()
+            return {"val_loss": float(jax.device_get(s["loss"])),
+                    "val_miou": float(jax.device_get(s["miou"]))}
+
+        if args.keep_best:
+            best_ckpt = CheckpointManager(
+                os.path.join(tr.checkpoint_dir, "best"), max_to_keep=1)
+
     state, summary = train(
         state, step_fn, loader.epoch, epochs=tr.epochs,
         num_classes=dc.num_classes, log_every=tr.log_every,
-        checkpoint_every=tr.checkpoint_every, ckpt=ckpt, hooks=hooks)
+        checkpoint_every=tr.checkpoint_every, ckpt=ckpt, hooks=hooks,
+        val_every=args.val_every, val_fn=val_fn, best_ckpt=best_ckpt)
     print("final:", {k: (v.tolist() if hasattr(v, "tolist") else v)
                      for k, v in summary.items()})
     if logger is not None:
         logger.close()
+    if best_ckpt is not None:
+        best_ckpt.close()
     ckpt.close()
     return 0
 

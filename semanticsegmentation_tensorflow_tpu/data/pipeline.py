@@ -201,6 +201,31 @@ class BatchLoader:
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
 
+class _SubsetDataset:
+    """View of a dataset restricted to an explicit train-image list —
+    how ``scripts/train.py --val-frac`` carves a validation split out of
+    datasets whose ``train_images`` is a glob-backed property (KITTI has
+    no labeled public val split). Everything else delegates."""
+
+    def __init__(self, ds, paths):
+        self._ds = ds
+        self._paths = list(paths)
+
+    @property
+    def train_images(self):
+        return list(self._paths)
+
+    def load_example(self, path):
+        return self._ds.load_example(path)
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+
+def subset_dataset(ds, paths) -> _SubsetDataset:
+    return _SubsetDataset(ds, paths)
+
+
 def class_pixel_counts(dataset, num_classes: int) -> np.ndarray:
     """[C] labeled-pixel counts over the train split (ignore pixels
     excluded) — the input to ``train.loss.median_frequency_weights``

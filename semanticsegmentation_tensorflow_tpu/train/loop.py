@@ -30,10 +30,22 @@ class LoopHooks:
 def train(state: TrainState, train_step: Callable, batches_per_epoch: Callable[[], Iterable],
           *, epochs: int, num_classes: int, log_every: int = 10,
           checkpoint_every: int = 0, ckpt=None,
-          hooks: LoopHooks | None = None) -> tuple[TrainState, dict]:
-    """Runs the loop; returns (final state, last epoch summary)."""
+          hooks: LoopHooks | None = None,
+          val_every: int = 0, val_fn: Callable | None = None,
+          best_ckpt=None) -> tuple[TrainState, dict]:
+    """Runs the loop; returns (final state, last epoch summary).
+
+    ``val_fn(state) -> {"val_loss": .., "val_miou": ..}`` runs every
+    ``val_every`` epochs (merged into the epoch summary and the JSONL
+    log); when ``best_ckpt`` (a second CheckpointManager, conventionally
+    ``<ckpt_dir>/best``) is given, the state is saved there whenever
+    val_miou improves — the reference trains blind and keeps only the
+    last weights (SURVEY.md §3.1); this adds the standard keep-best-
+    by-validation protocol.
+    """
     hooks = hooks or LoopHooks()
     summary: dict = {}
+    best_miou = -1.0
     step = int(jax.device_get(state.step))
     for epoch in range(epochs):
         metrics = SegMetrics.zero(num_classes)
@@ -61,6 +73,14 @@ def train(state: TrainState, train_step: Callable, batches_per_epoch: Callable[[
         summary["images_per_sec"] = n_imgs / dt if dt > 0 else 0.0
         summary["epoch"] = epoch
         summary["step"] = step  # global step, for log keying
+        if val_fn is not None and val_every and (epoch + 1) % val_every == 0:
+            vm = val_fn(state)
+            summary.update(vm)
+            miou = float(vm.get("val_miou", -1.0))
+            if best_ckpt is not None and miou > best_miou:
+                best_miou = miou
+                best_ckpt.save(state)
+                summary["val_best"] = best_miou
         hooks.on_epoch(epoch, summary)
     if ckpt is not None:
         ckpt.save(state, wait=True)

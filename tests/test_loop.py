@@ -233,3 +233,57 @@ def test_mesh_loop_checkpoint_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(fresh.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     ckpt.close()
+
+
+def test_val_fn_and_keep_best(tmp_path):
+    """val_fn runs on the cadence, its metrics land in the summary, and
+    best_ckpt saves exactly on improvements."""
+    d = generate_synthetic_kitti(str(tmp_path / "dv"), n_train=4, n_test=0,
+                                 h=64, w=96)
+    ds = KittiRoadDataset(d, image_size=(64, 96))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=16)
+    model = build_model("unet", num_classes=2, base_features=8)
+    state = create_train_state(model, jax.random.key(0), (2, 64, 96, 3),
+                               make_optimizer("adam", 1e-3))
+    aug = make_augment_fn((127.0,) * 3, (60.0,) * 3, crop_size=None)
+    step = make_train_step(num_classes=2, augment_fn=aug)
+
+    mious = iter([0.3, 0.2, 0.5, 0.5])  # improve, worse, improve, flat
+    calls = []
+
+    def val_fn(state):
+        m = next(mious)
+        calls.append(m)
+        return {"val_loss": 1.0 - m, "val_miou": m}
+
+    class FakeBest:
+        saved = []
+
+        def save(self, state, wait=False):
+            self.saved.append(int(jax.device_get(state.step)))
+
+    best = FakeBest()
+    state, summary = train(state, step, loader.epoch, epochs=4,
+                           num_classes=2, log_every=0, val_every=1,
+                           val_fn=val_fn, best_ckpt=best)
+    assert calls == [0.3, 0.2, 0.5, 0.5]
+    assert best.saved == [2, 6]  # epochs 1 and 3 (improvements only)
+    assert summary["val_miou"] == 0.5
+    assert "val_loss" in summary
+
+
+def test_val_every_cadence(tmp_path):
+    d = generate_synthetic_kitti(str(tmp_path / "dv2"), n_train=4, n_test=0,
+                                 h=64, w=96)
+    ds = KittiRoadDataset(d, image_size=(64, 96))
+    loader = BatchLoader(ds, batch_size=2, pad_multiple=16)
+    model = build_model("unet", num_classes=2, base_features=8)
+    state = create_train_state(model, jax.random.key(0), (2, 64, 96, 3),
+                               make_optimizer("adam", 1e-3))
+    step = make_train_step(num_classes=2)
+    n = [0]
+    state, _ = train(state, step, loader.epoch, epochs=4, num_classes=2,
+                     log_every=0, val_every=2,
+                     val_fn=lambda s: (n.__setitem__(0, n[0] + 1)
+                                       or {"val_miou": 0.0}))
+    assert n[0] == 2  # epochs 2 and 4
