@@ -29,3 +29,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", \
     f"test env must have 8 CPU devices, got {jax.devices()}"
+
+# --- smoke tier -------------------------------------------------------------
+# One fast module per subsystem so the whole framework's health is cheaply
+# demonstrable (`pytest -m smoke`, <3 min on this 1-core host). The heavy
+# compile-bound modules (test_train, test_quant, test_winograd, ...) stay in
+# the full tier only. Curated by measured wall time, not guesswork — see
+# README "Running the tests".
+import pytest  # noqa: E402
+
+_SMOKE_MODULES = {
+    "test_config",       # config/flag system
+    "test_metrics",      # confusion matrix / mIoU
+    "test_labelpack",    # label packing
+    "test_utils",        # profiling/logging utils
+    "test_data",         # KITTI loader + augment determinism
+    "test_ops",          # pool/unpool/atrous core ops
+    "test_serve",        # serving surface
+}
+
+# Individually-marked fast tests from otherwise compile-heavy modules:
+# full-res forward goldens cover every model family in ~25 s total.
+_SMOKE_TESTS = {
+    ("test_models", "test_full_resolution_logits"),
+    ("test_models", "test_vgg16_endpoint_strides"),
+    ("test_models", "test_conv_transpose_matches_tf_same_shape_semantics"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        if mod in _SMOKE_MODULES or (mod, item.originalname) in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
