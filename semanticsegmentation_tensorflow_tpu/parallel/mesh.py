@@ -119,13 +119,20 @@ def shard_state_zero1(state, mesh: Mesh):
     them per chip (the update then runs on 1/n-sized slices and
     all_gathers the fresh params, the classic ZeRO-1 exchange).
     """
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "ZeRO-1 state placement is single-controller for now; pod "
-            "runs use replicate()")
-    opt = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, zero1_spec(x, mesh))),
-        state.opt_state)
+    def _place(x):
+        sharding = NamedSharding(mesh, zero1_spec(x, mesh))
+        if jax.process_count() > 1:
+            # device_put rejects shardings spanning non-addressable devices.
+            # Every process holds the same full leaf (same seed / same
+            # restored checkpoint), so each supplies its addressable shards
+            # by slicing the replicated host copy — works for any process
+            # count and either spec (sharded last axis or fully replicated).
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx])
+        return jax.device_put(x, sharding)
+
+    opt = jax.tree.map(_place, state.opt_state)
     rest = replicate(state.replace(opt_state={}), mesh)
     return rest.replace(opt_state=opt)
 

@@ -24,10 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     port, pid, nproc, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
 
     from semanticsegmentation_tensorflow_tpu.parallel import (
         barrier, initialize_distributed, is_primary, make_mesh, replicate,
-        shard_batch,
+        shard_batch, shard_state_zero1,
     )
 
     proc, n = initialize_distributed(f"127.0.0.1:{port}", nproc, pid)
@@ -49,8 +50,23 @@ def main() -> None:
                                make_optimizer("adam", 1e-3))
     mesh = make_mesh()  # global: spans both processes
     assert mesh.size == nproc
-    state = replicate(state, mesh)
-    step = make_train_step(num_classes=2, mesh=mesh)
+    if mode == "zero1":
+        # pod-style ZeRO-1: moments sharded ACROSS processes — each process
+        # addresses only its slice of the global opt state
+        state = shard_state_zero1(state, mesh)
+        # the moments must actually be sharded across processes: sharded
+        # leaves address only 1/nproc of their elements locally
+        sharded = [
+            x for x in jax.tree.leaves(state.opt_state)
+            if isinstance(x, jax.Array)
+            and sum(s.data.size for s in x.addressable_shards) * nproc
+            == x.size]
+        assert sharded, "no opt leaf is zero1-sharded across processes"
+        step = make_train_step(num_classes=2, mesh=mesh, shard_opt=True,
+                               state=state)
+    else:
+        state = replicate(state, mesh)
+        step = make_train_step(num_classes=2, mesh=mesh)
 
     full = synthetic_batch(4, 32, 32, seed=0)
     per = 4 // nproc

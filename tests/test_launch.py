@@ -128,3 +128,35 @@ def test_train_cli_distributed(tmp_path):
         outs[1]
     logs = os.path.join(ckpt, "logs")
     assert os.path.isdir(logs)
+
+
+def test_two_process_zero1_matches_replicated(tmp_path):
+    """Pod-style ZeRO-1 (VERDICT r4 #9): optimizer moments sharded ACROSS
+    OS processes via make_array_from_callback, update numerically identical
+    to the replicated-state update."""
+    port = _free_port()
+    outfiles = [str(tmp_path / f"out{i}.json") for i in range(2)]
+    worker = os.path.join(REPO, "tests", "_launch_worker.py")
+    _spawn([[sys.executable, worker, str(port), str(i), "2", outfiles[i],
+             "zero1"] for i in range(2)])
+
+    results = [json.load(open(f)) for f in outfiles]
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-6)
+
+    # ZeRO-1 is an exact refactor of the replicated Adam update: the same
+    # 2 steps on an in-process replicated 2-device mesh give the same losses
+    model = build_model("unet", num_classes=2, base_features=8)
+    state = create_train_state(model, jax.random.key(0), (4, 32, 32, 3),
+                               make_optimizer("adam", 1e-3))
+    mesh = make_mesh(jax.devices()[:2])
+    state = replicate(state, mesh)
+    step = make_train_step(num_classes=2, mesh=mesh)
+    batch = shard_batch(
+        {k: jax.numpy.asarray(v)
+         for k, v in synthetic_batch(4, 32, 32, seed=0).items()}, mesh)
+    ref = []
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        ref.append(float(metrics["loss"]))
+    np.testing.assert_allclose(results[0]["losses"], ref, rtol=1e-5)
