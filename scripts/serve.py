@@ -100,10 +100,13 @@ def build_predictor(args):
 
 
 def make_handler(predictor, stats):
+    import threading
     from http.server import BaseHTTPRequestHandler
 
     import numpy as np
     from PIL import Image
+
+    stats_lock = threading.Lock()  # += on a dict value is not atomic
 
     from semanticsegmentation_tensorflow_tpu.ops.overlay import host_overlay
     from semanticsegmentation_tensorflow_tpu.utils.fastpng import encode_png
@@ -159,8 +162,9 @@ def make_handler(predictor, stats):
             img_np = np.asarray(img, np.uint8)
             labels = predictor._fetch_labels(img_np[None])[0]
             dt = time.perf_counter() - t0
-            stats["requests"] += 1
-            stats["last_ms"] = round(dt * 1e3, 2)
+            with stats_lock:
+                stats["requests"] += 1
+                stats["last_ms"] = round(dt * 1e3, 2)
             if self.path == "/segment":
                 overlay = host_overlay(img_np, labels, predictor._palette,
                                        predictor._alpha)
