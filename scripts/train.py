@@ -358,7 +358,7 @@ def main(argv=None):
         barrier("pre_checkpoint_manager")
     ckpt = CheckpointManager(tr.checkpoint_dir)
     if args.resume:
-        state = ckpt.restore(state)
+        state = ckpt.restore(state, warn_dropped=True)
         print(f"resumed at step {int(state.step)}")
     if args.qat:
         import numpy as np

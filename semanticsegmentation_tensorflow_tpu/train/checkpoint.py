@@ -130,8 +130,16 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, state: TrainState, step: int | None = None) -> TrainState:
-        """Restore into the structure of ``state`` (must be pre-created)."""
+    def restore(self, state: TrainState, step: int | None = None,
+                warn_dropped: bool = False) -> TrainState:
+        """Restore into the structure of ``state`` (must be pre-created).
+
+        ``warn_dropped=True`` logs a warning when the checkpoint holds
+        ``ema_params`` the template doesn't track — the resume-without-
+        ``--ema-decay`` case, where EMA tracking silently stops and the
+        next save drops the EMA tree. Eval/serving paths (where ignoring
+        a stored EMA tree is the everyday case) leave it off.
+        """
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             if any(isinstance(l, jax.ShapeDtypeStruct)
@@ -241,9 +249,18 @@ class CheckpointManager:
                         restored = _restore(t3)
                     except Exception:
                         raise first_err from None
-                    restored.pop("ema_params", None)
+                    if restored.pop("ema_params", None) is not None:
+                        drop_keys.append("ema_params")
         for k in drop_keys:
             restored.pop(k, None)
+        if warn_dropped and "ema_params" in drop_keys:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint at step {step} holds EMA params but this run "
+                "does not track them (no --ema-decay): EMA tracking stops "
+                "here and the next save will not carry an EMA tree. Pass "
+                "--ema-decay to keep updating it.", stacklevel=2)
         if "rng_data" in restored:
             import numpy as np
 

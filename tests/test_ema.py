@@ -127,6 +127,35 @@ def test_restore_ema_checkpoint_into_plain_template(tmp_path):
     assert int(r.step) == int(s.step)
 
 
+def test_restore_warns_when_resume_drops_ema(tmp_path):
+    """train.py --resume without --ema-decay on an EMA checkpoint: the
+    tracking silently stops, so restore(warn_dropped=True) must say so
+    (found live in the round-5 drive — the QAT resume epoch dropped the
+    EMA tree and a later eval --ema failed on the re-saved checkpoint)."""
+    s = _state(ema_decay=0.9)
+    step = make_train_step(num_classes=2)
+    s, _ = step(s, _batch())
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(s, wait=True)
+    mgr.close()
+
+    model = build_model("unet", num_classes=2, base_features=8,
+                        dtype=jnp.float32)
+    tmpl = create_abstract_state(model, (4, 32, 32, 3),
+                                 make_optimizer("sgd", 1e-2), ema=False)
+    mgr2 = CheckpointManager(str(tmp_path))
+    with pytest.warns(UserWarning, match="EMA tracking stops"):
+        mgr2.restore(tmpl, warn_dropped=True)
+    mgr2.close()
+    # and the eval path (warn_dropped default False) stays silent
+    mgr3 = CheckpointManager(str(tmp_path))
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        mgr3.restore(tmpl)
+    mgr3.close()
+
+
 def test_plain_checkpoint_roundtrip_unchanged(tmp_path):
     """Non-EMA checkpoints keep their exact pre-EMA layout (regression:
     the payload gains the ema_params key ONLY when tracked)."""
