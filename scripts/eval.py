@@ -101,9 +101,17 @@ def main(argv=None):
 
     cfg = get_preset(args.preset)
     dc = cfg.data
+    model_kwargs = dict(cfg.model_kwargs, **parse_model_kw(args.model_kw))
+    if args.int8:
+        # route every conv through nn.Conv so the interceptor sees them all
+        # (production packed flags left 13 of 18 FCN convs unquantized)
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            merge_quant_safe_kwargs,
+        )
+        model_kwargs = merge_quant_safe_kwargs(args.model or cfg.model,
+                                               model_kwargs)
     model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
-                        **dict(cfg.model_kwargs,
-                               **parse_model_kw(args.model_kw)))
+                        **model_kwargs)
     from semanticsegmentation_tensorflow_tpu.models.registry import (
         padded_input_hw,
     )

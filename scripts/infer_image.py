@@ -63,9 +63,16 @@ def main(argv=None):
     cfg = get_preset(args.preset)
     model_name = args.model or cfg.model
     dc = cfg.data
+    model_kwargs = dict(cfg.model_kwargs, **parse_model_kw(args.model_kw))
+    if args.int8:
+        # quantization intercepts nn.Conv calls — rebuild unpacked so every
+        # conv is visible (same param tree; registry.quant_safe_kwargs)
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            merge_quant_safe_kwargs,
+        )
+        model_kwargs = merge_quant_safe_kwargs(model_name, model_kwargs)
     model = build_model(model_name, num_classes=dc.num_classes,
-                        **dict(cfg.model_kwargs,
-                               **parse_model_kw(args.model_kw)))
+                        **model_kwargs)
     from semanticsegmentation_tensorflow_tpu.models.registry import (
         padded_input_hw,
     )

@@ -56,9 +56,17 @@ def build_predictor(args):
 
     cfg = get_preset(args.preset)
     dc = cfg.data
+    model_kwargs = dict(cfg.model_kwargs, **parse_model_kw(args.model_kw))
+    if args.int8:
+        # quantization intercepts nn.Conv calls — rebuild unpacked so every
+        # conv is visible (same param tree; registry.quant_safe_kwargs)
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            merge_quant_safe_kwargs,
+        )
+        model_kwargs = merge_quant_safe_kwargs(args.model or cfg.model,
+                                               model_kwargs)
     model = build_model(args.model or cfg.model, num_classes=dc.num_classes,
-                        **dict(cfg.model_kwargs,
-                               **parse_model_kw(args.model_kw)))
+                        **model_kwargs)
     h, w = padded_input_hw(model, dc.image_size)
     state = create_abstract_state(model, (1, h, w, 3),
                                   make_optimizer("adam", 1e-4),

@@ -244,6 +244,15 @@ def main(argv=None):
             merge_spmd_safe_kwargs,
         )
         model_kwargs = merge_spmd_safe_kwargs(cfg.model, model_kwargs)
+    if args.qat:
+        # QAT trains under the serving grid: fake-quant intercepts nn.Conv
+        # calls, so the packed/fused paths (invisible to the interceptor)
+        # must be off or most convs train un-quantized while int8 serving
+        # (which rebuilds the same way) quantizes them all.
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            merge_quant_safe_kwargs,
+        )
+        model_kwargs = merge_quant_safe_kwargs(cfg.model, model_kwargs)
     model = build_model(cfg.model, num_classes=dc.num_classes, **model_kwargs)
     stride = getattr(model, "total_stride", 32)
 

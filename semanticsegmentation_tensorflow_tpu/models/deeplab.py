@@ -135,6 +135,10 @@ class DeepLabASPP(nn.Module):
     # concat-free ASPP projection (see _ASPPProject): same params/
     # checkpoints, float-summation order differs. Perf A/B flag.
     aspp_split_proj: bool = False
+    # bias+relu after the pool in the undilated stages (bit-exact,
+    # ops/packed_stem.PooledConvBlock). False = plain nn.Conv blocks,
+    # required by interceptor-based int8/QAT (registry.quant_safe_kwargs).
+    deferred_pool_bias: bool = True
     dtype: jnp.dtype = DEFAULT_DTYPE
     output_stride: int = 8
 
@@ -157,6 +161,7 @@ class DeepLabASPP(nn.Module):
                      fc_features=512,
                      dropout_rate=self.dropout_rate,
                      winograd=self.winograd,
+                     deferred_pool_bias=self.deferred_pool_bias,
                      dtype=self.dtype, name="vgg16")(x, train=train)
         x = ASPP(features=self.aspp_features, rates=self.rates,
                  use_bn=self.use_bn, split_proj=self.aspp_split_proj,

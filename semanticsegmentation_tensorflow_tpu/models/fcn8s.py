@@ -61,6 +61,11 @@ class FCN8s(nn.Module):
     # width-pair-packed conv2_1 (models/vgg16.py docstring): full-lane
     # input gradient for stage2's first conv. Perf flag only.
     packed_stage2_entry: bool = False
+    # run each pooled stage's last bias+relu AFTER the pool (bit-exact,
+    # ops/packed_stem.PooledConvBlock). Set False to route the backbone
+    # through plain nn.Conv blocks — required by interceptor-based paths
+    # (int8 quantization / QAT, registry.quant_safe_kwargs).
+    deferred_pool_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -71,6 +76,7 @@ class FCN8s(nn.Module):
                      pallas_spmd=self.pallas_spmd, winograd=self.winograd,
                      winograd_fc6=self.winograd_fc6,
                      packed_stage2_entry=self.packed_stage2_entry,
+                     deferred_pool_bias=self.deferred_pool_bias,
                      dtype=self.dtype, name="vgg16")(x, train=train)
 
         def score(t, name):

@@ -74,3 +74,49 @@ def merge_spmd_safe_kwargs(name: str, kwargs: dict[str, Any]) -> dict[str, Any]:
                 stacklevel=2)
         kwargs.setdefault(k, v)
     return kwargs
+
+
+def quant_safe_kwargs(name: str) -> dict[str, Any]:
+    """Model kwargs that route EVERY conv through ``nn.Conv`` /
+    ``nn.ConvTranspose`` so the interceptor-based int8/QAT machinery
+    (infer/quant.py, flax ``intercept_methods``) can see them all.
+
+    The packed/fused perf paths (Pallas stage1, PooledConvBlock's raw
+    ``lax.conv`` blocks, FastConvTranspose, packed U-Net/SegNet stages)
+    declare the SAME parameter trees but bypass the flax method boundary,
+    so under the production flags only the fc/score convs quantize — the
+    round-5 drive measured 5 of ~18 FCN-8s convs covered. Checkpoints are
+    interchangeable either way (every packed variant mirrors nn.Conv's
+    param paths/shapes/init), so quantized serving rebuilds with these and
+    restores the same checkpoint."""
+    if name in ("fcn8s", "fcn16s", "fcn32s"):
+        return {"packed_stage1": False, "packed_stage2_entry": False,
+                "deferred_pool_bias": False, "fast_upsample": False,
+                "winograd": None, "winograd_fc6": False}
+    if name == "segnet":
+        return {"packed_stage1": False, "packed_dec1": False,
+                "packed_dec2": False, "winograd": None}
+    if name == "unet":
+        return {"packed_stage0": False, "fast_upconv": False,
+                "winograd": None}
+    if name == "deeplab":
+        return {"deferred_pool_bias": False, "aspp_split_proj": False,
+                "winograd": None}
+    return {}
+
+
+def merge_quant_safe_kwargs(name: str, kwargs: dict[str, Any]) -> dict[str, Any]:
+    """Merge :func:`quant_safe_kwargs` into user kwargs for an int8/QAT
+    path (same contract as :func:`merge_spmd_safe_kwargs`: warn on
+    conflict, the user's explicit value wins)."""
+    import warnings
+
+    for k, v in quant_safe_kwargs(name).items():
+        if k in kwargs and kwargs[k] != v:
+            warnings.warn(
+                f"model kwarg {k}={kwargs[k]!r} keeps a packed/fused path "
+                f"the int8/QAT interceptor cannot see; quantization will "
+                f"skip those convs. The quant-safe value is {k}={v!r}. "
+                f"Keeping your explicit choice.", stacklevel=2)
+        kwargs.setdefault(k, v)
+    return kwargs

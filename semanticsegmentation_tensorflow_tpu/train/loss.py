@@ -80,6 +80,42 @@ def focal_loss_sum(
     return jnp.sum(f * valid), jnp.sum(valid)
 
 
+def softmax_cross_entropy_sum_cmajor(
+    logits: jax.Array,
+    labels: jax.Array,
+    num_classes: int,
+    valid_mask: jax.Array | None = None,
+    class_weights: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Integer-label CE sum computed in CLASS-MAJOR ([N, C, H, W]) form.
+
+    Same per-pixel math as :func:`softmax_cross_entropy_sum` on the one-hot
+    of ``labels`` — but every full-resolution elementwise/reduce pass runs
+    with W in the 128-lane dimension instead of C. With C-minor logits at
+    tiny C (KITTI C=2 pads to a T(2,128)/T(4,128) tiling = 2-3% lane use),
+    the round-5 SegNet profile measured ~10 ms/step in this chain; the
+    class-major form's C full-lane passes over [N, H, W] are ~25x less
+    vector work. Gated by ``SEG_LOSS_IMPL`` (train/step.py) pending the
+    on-chip A/B — per-pixel values match to f32 roundoff, and the pixel
+    one-hot never materializes.
+    """
+    z = jnp.moveaxis(logits, -1, 1)                       # [N, C, H, W]
+    m = jnp.max(z, axis=1)                                # [N, H, W]
+    lse = m + jnp.log(jnp.sum(jnp.exp(z - m[:, None]), axis=1))
+    cls = jnp.arange(num_classes, dtype=labels.dtype)
+    sel = labels[:, None] == cls[None, :, None, None]     # [N, C, H, W] pred
+    z_at = jnp.sum(jnp.where(sel, z, 0), axis=1)          # logit[label]
+    ce = lse - z_at                                       # [N, H, W]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, ce.dtype)
+        w_at = jnp.sum(jnp.where(sel, w[None, :, None, None], 0), axis=1)
+        ce = ce * w_at
+    if valid_mask is None:
+        return jnp.sum(ce), jnp.asarray(ce.size, ce.dtype)
+    valid = valid_mask.astype(ce.dtype)
+    return jnp.sum(ce * valid), jnp.sum(valid)
+
+
 def softmax_cross_entropy_loss(
     logits: jax.Array,
     labels_onehot: jax.Array,

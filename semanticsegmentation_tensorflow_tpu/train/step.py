@@ -30,11 +30,32 @@ from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
 from semanticsegmentation_tensorflow_tpu.train.loss import (
     focal_loss_sum,
     softmax_cross_entropy_sum,
+    softmax_cross_entropy_sum_cmajor,
 )
 from semanticsegmentation_tensorflow_tpu.train.metrics import confusion_matrix
 from semanticsegmentation_tensorflow_tpu.train.state import TrainState
 
 AugmentFn = Callable[[jax.Array, dict], dict]  # (rng, batch) -> batch
+
+
+def _loss_impl() -> str:
+    """'cmajor' computes the logits-consumer chain (CE + argmax) in
+    class-major [N, C, H, W] form — full vector lanes at tiny C instead of
+    the C-minor T(2,128)/T(4,128) tilings the round-5 SegNet profile
+    measured at ~10 ms/step. 'nhwc' is the classic one-hot form. Read at
+    trace time (the SEG_CM_IMPL pattern); default pending the on-chip A/B."""
+    import os
+
+    v = os.environ.get("SEG_LOSS_IMPL", "nhwc")
+    if v not in ("nhwc", "cmajor"):
+        raise ValueError(f"SEG_LOSS_IMPL={v!r}: want 'nhwc' or 'cmajor'")
+    return v
+
+
+def _argmax_classes(logits: jax.Array) -> jax.Array:
+    if _loss_impl() == "cmajor":
+        return jnp.argmax(jnp.moveaxis(logits, -1, 1), axis=1)
+    return jnp.argmax(logits, axis=-1)
 
 
 def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
@@ -63,12 +84,19 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
     logits, mutated = fwd(variables, batch["image"], rngs)
     new_stats = (mutated["batch_stats"] if (train and has_bn)
                  else state.batch_stats)
-    onehot = jax.nn.one_hot(batch["label"], num_classes, dtype=logits.dtype)
     # Return the UN-normalized CE sum + valid count; the caller divides by
     # the (psum'd, when sharded) global valid count so mesh and no-mesh
     # training are numerically identical even with uneven masks.
-    ce_sum, valid_sum = loss_sum_fn(
-        logits, onehot, batch.get("valid"), class_weights)
+    if (loss_sum_fn is softmax_cross_entropy_sum
+            and _loss_impl() == "cmajor"):
+        ce_sum, valid_sum = softmax_cross_entropy_sum_cmajor(
+            logits, batch["label"], num_classes, batch.get("valid"),
+            class_weights)
+    else:
+        onehot = jax.nn.one_hot(batch["label"], num_classes,
+                                dtype=logits.dtype)
+        ce_sum, valid_sum = loss_sum_fn(
+            logits, onehot, batch.get("valid"), class_weights)
     return ce_sum, (valid_sum, logits, new_stats)
 
 
@@ -119,7 +147,7 @@ def _accum_grads(state: TrainState, batch: dict, *, num_classes: int,
             has_aux=True)
         (ce, (vs, logits, new_stats)), g = grad_fn(state.params)
         if with_metrics:
-            preds = jnp.argmax(logits, axis=-1)
+            preds = _argmax_classes(logits)
             cm_a = cm_a + confusion_matrix(mb["label"], preds, num_classes,
                                            mb.get("valid"))
         g_a = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_a, g)
@@ -239,7 +267,7 @@ def _train_step_body(state: TrainState, batch: dict, *, num_classes: int,
         # reference's train loop prints loss only (SURVEY.md §3.1); the
         # full-res argmax + count costs ~2-3 ms/step at KITTI batch 16.
         if grad_accum <= 1:
-            preds = jnp.argmax(logits, axis=-1)
+            preds = _argmax_classes(logits)
             cm = confusion_matrix(batch["label"], preds, num_classes,
                                   batch.get("valid"))
         if axis is not None:
@@ -351,7 +379,7 @@ def _eval_step_body(state: TrainState, batch: dict, *, num_classes: int,
                     axis: str | None, road_hist: bool = False):
     ce_sum, (valid_sum, logits, _) = _forward_loss(
         state, state.params, batch, num_classes, train=False)
-    preds = jnp.argmax(logits, axis=-1)
+    preds = _argmax_classes(logits)
     cm = confusion_matrix(batch["label"], preds, num_classes, batch.get("valid"))
     out = {}
     if road_hist:

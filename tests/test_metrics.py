@@ -1,5 +1,7 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from semanticsegmentation_tensorflow_tpu.train.metrics import (
     SegMetrics, confusion_matrix, iou_from_confusion,
@@ -112,3 +114,92 @@ def test_median_frequency_weights():
     w3 = np.asarray(median_frequency_weights([300, 100, 0]))
     np.testing.assert_allclose(w3[:2], [2 / 3, 2.0], rtol=1e-6)
     assert w3[2] == 0.0
+
+
+class TestCMajorLoss:
+    """softmax_cross_entropy_sum_cmajor == the one-hot NHWC form — values,
+    counts, and GRADIENTS — for every mask/weight combination. The cmajor
+    form exists because C-minor logits at tiny C tile as T(2,128)/T(4,128)
+    (2-3% lane use); the round-5 SegNet profile measured ~10 ms/step in
+    the loss+argmax chain (SEG_LOSS_IMPL gates the on-chip A/B)."""
+
+    def _case(self, seed, C=3, shape=(2, 8, 10)):
+        from semanticsegmentation_tensorflow_tpu.train.loss import (
+            softmax_cross_entropy_sum, softmax_cross_entropy_sum_cmajor,
+        )
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(rng.normal(size=shape + (C,)) * 3, jnp.float32)
+        labels = jnp.asarray(rng.integers(0, C, size=shape), jnp.int32)
+        mask = jnp.asarray(rng.integers(0, 2, size=shape), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.2, 3.0, size=C), jnp.float32)
+        onehot = jax.nn.one_hot(labels, C, dtype=logits.dtype)
+        return logits, labels, onehot, mask, w
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    @pytest.mark.parametrize("use_w", [False, True])
+    def test_matches_onehot_form(self, use_mask, use_w):
+        from semanticsegmentation_tensorflow_tpu.train.loss import (
+            softmax_cross_entropy_sum, softmax_cross_entropy_sum_cmajor,
+        )
+        logits, labels, onehot, mask, w = self._case(0)
+        m = mask if use_mask else None
+        cw = w if use_w else None
+
+        def f_ref(z):
+            s, n = softmax_cross_entropy_sum(z, onehot, m, cw)
+            return s, n
+
+        def f_cm(z):
+            s, n = softmax_cross_entropy_sum_cmajor(z, labels, 3, m, cw)
+            return s, n
+
+        (s0, n0), g0 = jax.value_and_grad(lambda z: f_ref(z)[0])(logits), None
+        s1, n1 = f_cm(logits)
+        np.testing.assert_allclose(float(s1), float(f_ref(logits)[0]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(n1), float(f_ref(logits)[1]))
+        gr = jax.grad(lambda z: f_ref(z)[0])(logits)
+        gc = jax.grad(lambda z: f_cm(z)[0])(logits)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_argmax_impl_equal(self, monkeypatch):
+        from semanticsegmentation_tensorflow_tpu.train import step as step_mod
+        logits, *_ = self._case(1)
+        monkeypatch.setenv("SEG_LOSS_IMPL", "cmajor")
+        a = np.asarray(step_mod._argmax_classes(logits))
+        monkeypatch.setenv("SEG_LOSS_IMPL", "nhwc")
+        b = np.asarray(step_mod._argmax_classes(logits))
+        np.testing.assert_array_equal(a, b)
+
+    def test_train_step_same_under_both_impls(self, monkeypatch):
+        """One real train step (tiny U-Net): loss + cm + updated params match
+        across SEG_LOSS_IMPL settings (fresh jit per setting)."""
+        from semanticsegmentation_tensorflow_tpu.models import build_model
+        from semanticsegmentation_tensorflow_tpu.train.state import (
+            create_train_state, make_optimizer,
+        )
+        from semanticsegmentation_tensorflow_tpu.train.step import (
+            make_train_step,
+        )
+        from semanticsegmentation_tensorflow_tpu.data import synthetic_batch
+
+        def run(impl):
+            monkeypatch.setenv("SEG_LOSS_IMPL", impl)
+            model = build_model("unet", num_classes=2, base_features=8,
+                                dtype=jnp.float32)
+            state = create_train_state(
+                model, jax.random.key(0), (4, 32, 32, 3),
+                make_optimizer("sgd", 1e-2))
+            batch = synthetic_batch(4, 32, 32)
+            step = make_train_step(num_classes=2)
+            state, out = step(state, batch)
+            return (float(out["loss"]), np.asarray(out["cm"]),
+                    jax.tree.leaves(state.params)[0])
+
+        l0, cm0, p0 = run("nhwc")
+        l1, cm1, p1 = run("cmajor")
+        np.testing.assert_allclose(l1, l0, rtol=1e-5)
+        np.testing.assert_array_equal(cm1, cm0)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   atol=1e-6)

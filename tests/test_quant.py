@@ -502,3 +502,75 @@ class TestServingIntegration:
                                    float(out["loss"]), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(mout["cm"]),
                                       np.asarray(out["cm"]))
+
+
+class TestQuantSafeRebuild:
+    """registry.quant_safe_kwargs: the int8/QAT CLIs rebuild the model with
+    every conv routed through nn.Conv so the interceptor sees them all.
+    Found in the round-5 drive: the production packed flags left FCN-8s
+    with only 5 of ~21 convs quantized (fc6/fc7 + the three score convs) —
+    the whole VGG backbone ran un-quantized through PooledConvBlock's raw
+    lax convs / the Pallas stage1."""
+
+    CASES = [
+        # (name, production-ish kwargs at test scale, min quant-safe convs)
+        ("fcn8s", dict(fc_features=64), 21),
+        ("segnet", dict(), 26),
+        ("unet", dict(base_features=64, depth=2), 12),
+        ("deeplab", dict(width_mult=0.25, aspp_features=16), 21),
+    ]
+
+    @pytest.mark.parametrize("name,kw,min_convs", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_exposes_every_conv(self, name, kw, min_convs):
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            quant_safe_kwargs,
+        )
+        shape = (1, 64, 64, 3)
+        qkw = dict(kw, **quant_safe_kwargs(name))
+        mq = build_model(name, num_classes=2, **qkw)
+        vq = mq.init(jax.random.key(0), jnp.zeros(shape, jnp.bfloat16),
+                     train=False)
+        paths = quant.conv_paths(mq, vq, shape)
+        assert len(paths) >= min_convs, (name, sorted(paths))
+
+        # and the production build exposes strictly fewer (the bug this
+        # guards against: silently partial quantization coverage)
+        mp = build_model(name, num_classes=2, **kw)
+        vp = mp.init(jax.random.key(0), jnp.zeros(shape, jnp.bfloat16),
+                     train=False)
+        assert len(quant.conv_paths(mp, vp, shape)) < len(paths), name
+
+    @pytest.mark.parametrize("name,kw,min_convs", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_production_checkpoint_loads_and_matches(self, name, kw,
+                                                     min_convs):
+        """A checkpoint trained under the production (packed) flags must
+        restore into the quant-safe rebuild unchanged (identical param
+        trees) and produce the same function up to float summation order."""
+        from semanticsegmentation_tensorflow_tpu.models.registry import (
+            quant_safe_kwargs,
+        )
+        shape = (1, 64, 64, 3)
+        mp = build_model(name, num_classes=2, **kw)
+        vp = mp.init(jax.random.key(0), jnp.zeros(shape, jnp.bfloat16),
+                     train=False)
+        qkw = dict(kw, **quant_safe_kwargs(name))
+        mq = build_model(name, num_classes=2, **qkw)
+        vq = mq.init(jax.random.key(1), jnp.zeros(shape, jnp.bfloat16),
+                     train=False)
+        # identical trees (paths AND shapes) — checkpoints interchange
+        fp = {p: l.shape for p, l in
+              flax.traverse_util.flatten_dict(vp["params"]).items()}
+        fq = {p: l.shape for p, l in
+              flax.traverse_util.flatten_dict(vq["params"]).items()}
+        assert fp == fq, name
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=shape),
+                        jnp.float32)
+        yp = np.asarray(mp.apply(vp, x, train=False), np.float32)
+        yq = np.asarray(mq.apply(vp, x, train=False), np.float32)
+        # bf16 compute, different summation order across the packed/fused
+        # rewrites — close, not bitwise
+        np.testing.assert_allclose(yq, yp, atol=0.15, rtol=0.05,
+                                   err_msg=name)
