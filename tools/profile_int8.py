@@ -49,6 +49,15 @@ def main() -> None:
     from semanticsegmentation_tensorflow_tpu.ops.shape import pad_to_multiple
     from tools.profile_step import aggregate_xplane
 
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        merge_quant_safe_kwargs,
+    )
+
+    # quant-safe flags so the interceptor covers EVERY conv (the int8 CLIs
+    # rebuild the same way); the bf16 reference keeps the production flags
+    # — the A/B the profile answers is "int8 serving vs production bf16"
+    qkw = merge_quant_safe_kwargs(args.model, parse_model_kw(args.model_kw))
+    qmodel = build_model(args.model, num_classes=2, **qkw)
     model = build_model(args.model, num_classes=2,
                         **parse_model_kw(args.model_kw))
     h, w = padded_input_hw(model, (375, 1242))
@@ -59,12 +68,15 @@ def main() -> None:
     xin = np.asarray(pad_to_multiple(normalize_images(
         jnp.asarray(img), (123.68, 116.779, 103.939),
         (58.393, 57.12, 57.375)), 32))
-    qv, apply_fn, _ = quant.quantize_for_inference(
-        model, vs, [xin], (args.batch, h, w, 3))
+    qv, apply_fn, scales = quant.quantize_for_inference(
+        qmodel, vs, [xin], (args.batch, h, w, 3))
+    n_q = sum(1 for leaf in jax.tree.leaves(qv["params"])
+              if leaf.dtype == np.int8)
+    print(f"int8: {n_q} convs quantized, {len(scales)} activation scales")
 
     preds = {
         "bf16": Predictor(model, vs, (375, 1242)),
-        "int8": Predictor(model, qv, (375, 1242), apply_fn=apply_fn),
+        "int8": Predictor(qmodel, qv, (375, 1242), apply_fn=apply_fn),
     }
     dimg = jnp.asarray(img)
     for tag, pred in preds.items():
