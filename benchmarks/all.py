@@ -286,7 +286,14 @@ def bench_infer_int8(batch: int, steps: int) -> dict:
         pad_to_multiple,
     )
 
-    model = build_model("fcn8s", num_classes=2)
+    from semanticsegmentation_tensorflow_tpu.models.registry import (
+        quant_safe_kwargs,
+    )
+
+    # quant-safe build = what the --int8 CLIs actually serve (every conv
+    # int8; the production packed paths are interceptor-invisible)
+    model = build_model("fcn8s", num_classes=2,
+                        **quant_safe_kwargs("fcn8s"))
     h, w = padded_input_hw(model, (375, 1242))
     vs = jax.jit(functools.partial(model.init, train=False))(
         jax.random.key(0), jnp.zeros((batch, h, w, 3), jnp.float32))
