@@ -32,22 +32,27 @@ class UNet(nn.Module):
     # (emitted packed directly — a 2x2/2 transpose conv's column pair IS
     # the pack dim), the skip concat, upconv0, and the 1x1 head all run
     # at full MXU lanes. Same params/checkpoints; values equal up to
-    # float summation order. MEASURED (tools/bench_flags.py A/B, v5e
-    # 2026-08-17): +7.6% at the preset workload (Cityscapes 256x512 b8,
-    # 142.2 -> 153.0 img/s — default on), -4.4% at non-preset KITTI
-    # 384x1248 (46.4 -> 44.3: upconv0's first conv consumes an already-
-    # full-lane concat, and the extra full-res skip pass grows with
-    # area — set False for very large inputs).
-    # "mixed" (round 4, the A/B named in ARCHITECTURE.md): packed down0 +
-    # packed up0 transpose-conv + packed concat, then UNPACK — upconv0's
-    # convs and the head consume an already-full-lane 128-ch input, where
-    # packing doubles FLOPs for no lane win (the conv2_1 lesson).
+    # float summation order. MEASURED (tools/bench_flags.py 3-way A/B,
+    # v5e 2026-08-19, runbook item 3): preset workload (Cityscapes
+    # 256x512 b8) True 153.8 / False 140.2 / "mixed" 135.3 img/s
+    # (+9.7% — default stays on); non-preset KITTI 384x1248 b8 False
+    # 46.1 / True 43.9 / "mixed" 44.0 (upconv0's first conv consumes an
+    # already-full-lane concat and the extra full-res skip pass grows
+    # with area — set False for very large inputs; benchmarks/all.py's
+    # fullres row does).
+    # "mixed" (round 4's hypothesis): packed down0 + packed up0
+    # transpose-conv + packed concat, then UNPACK before upconv0 —
+    # measured WORST at both shapes (the unpack relayout costs more than
+    # the duplicated-FLOP convs it avoids); kept only as an A/B leg.
     packed_stage0: bool | str = True
     # compute the up1..up{d} 2x2/2 transposed convs as 1x1-conv +
     # depth-to-space (ops/fast_upsample.fast_conv_transpose_2x2) instead
     # of XLA's fractionally-strided conv. Same canonical params; bit-equal
-    # values. A perf A/B knob (VERDICT r3 #2) — default off until
-    # measured on the chip.
+    # values. MEASURED (v5e 2026-08-19, runbook item 4): LOSES at both
+    # shapes — fullres 42.0 vs 46.3 img/s, preset 147.6 vs 151.8 (XLA's
+    # native transposed-conv schedule beats the 1x1+depth-to-space
+    # rewrite here; the depth-to-space relayout is the cost). Rejected
+    # as a default; stays available as an A/B knob.
     fast_upconv: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
 
