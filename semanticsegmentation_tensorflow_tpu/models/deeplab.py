@@ -139,6 +139,17 @@ class DeepLabASPP(nn.Module):
     # ops/packed_stem.PooledConvBlock). False = plain nn.Conv blocks,
     # required by interceptor-based int8/QAT (registry.quant_safe_kwargs).
     deferred_pool_bias: bool = True
+    # fused width-pair-packed stage1 (ops/packed_stem.PackedStage1 — the
+    # same kernel FCN/SegNet default to; DeepLab's stage1 is identically
+    # undilated at any output stride). The round-5 os8 profile shows the
+    # unpacked stage1 cluster at ~19 ms of a 105.8 ms step; FCN's packed
+    # pair costs 14.3 ms at DOUBLE the batch. Same params/checkpoints.
+    packed_stage1: bool = True
+    # Pallas pool inside the packed stage1 (None = auto on TPU).
+    pallas_pool: bool | None = None
+    # SPMD halo-array mode for the fused stage1 kernel (height-sharded
+    # 2-D mesh; registry.spmd_safe_kwargs sets it).
+    pallas_spmd: bool = False
     dtype: jnp.dtype = DEFAULT_DTYPE
     output_stride: int = 8
 
@@ -162,6 +173,9 @@ class DeepLabASPP(nn.Module):
                      dropout_rate=self.dropout_rate,
                      winograd=self.winograd,
                      deferred_pool_bias=self.deferred_pool_bias,
+                     packed_stage1=self.packed_stage1,
+                     pallas_pool=self.pallas_pool,
+                     pallas_spmd=self.pallas_spmd,
                      dtype=self.dtype, name="vgg16")(x, train=train)
         x = ASPP(features=self.aspp_features, rates=self.rates,
                  use_bn=self.use_bn, split_proj=self.aspp_split_proj,

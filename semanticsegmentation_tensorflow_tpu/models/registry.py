@@ -49,9 +49,9 @@ def spmd_safe_kwargs(name: str) -> dict[str, Any]:
     benchmark knob, never a default) are excluded. Every entry point that
     builds a model for a spatial mesh should merge these in (setdefault,
     so explicit user choices still win)."""
-    if name in ("fcn8s", "fcn16s", "fcn32s", "segnet"):
+    if name in ("fcn8s", "fcn16s", "fcn32s", "segnet", "deeplab"):
         return {"winograd": None, "pallas_spmd": True}
-    if name in ("unet", "deeplab"):
+    if name == "unet":
         return {"winograd": None}
     return {}
 
@@ -100,8 +100,8 @@ def quant_safe_kwargs(name: str) -> dict[str, Any]:
         return {"packed_stage0": False, "fast_upconv": False,
                 "winograd": None}
     if name == "deeplab":
-        return {"deferred_pool_bias": False, "aspp_split_proj": False,
-                "winograd": None}
+        return {"packed_stage1": False, "deferred_pool_bias": False,
+                "aspp_split_proj": False, "winograd": None}
     return {}
 
 

@@ -418,3 +418,31 @@ def test_fused_segnet_tail_spmd_mode_matches_reference():
     ref_out, ref_idx = reference_segnet_stage1_tail(z1, k2, b2, b1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_deeplab_packed_stage1_checkpoint_compatible():
+    """DeepLab now defaults to the fused packed stage1 (round 5: its os8
+    profile showed the unpacked stage1 cluster at ~19 ms of a 105.8 ms
+    step while FCN's packed pair costs 14.3 ms at double the batch).
+    Same param tree and same function as the unpacked build."""
+    from semanticsegmentation_tensorflow_tpu.models.deeplab import (
+        DeepLabASPP,
+    )
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 32, 64, 3)).astype(np.float32))
+    m_ref = DeepLabASPP(num_classes=2, width_mult=0.25, aspp_features=16,
+                        rates=(2, 4), dropout_rate=0.0, dtype=jnp.float32,
+                        packed_stage1=False)
+    m_pkd = DeepLabASPP(num_classes=2, width_mult=0.25, aspp_features=16,
+                        rates=(2, 4), dropout_rate=0.0, dtype=jnp.float32,
+                        packed_stage1=True)
+    variables = m_ref.init(jax.random.key(0), x, train=False)
+    v2 = m_pkd.init(jax.random.key(0), x, train=False)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        variables, v2)
+    ref = m_ref.apply(variables, x, train=False)
+    pkd = m_pkd.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(pkd), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -469,6 +469,19 @@ def test_unet_packed_stage0_matches_single_device_2d_mesh():
     _equality_vs_single_device(kw, make_mesh_2d(2, 4), _batch(4, h=64, w=32))
 
 
+def test_deeplab_packed_stage1_matches_single_device_2d_mesh():
+    """Round 5: DeepLab defaults to the fused packed stage1 and
+    registry.spmd_safe_kwargs now marks it pallas_spmd-capable — the same
+    custom_partitioning halo path FCN/SegNet use, under the 2-D
+    height-sharded mesh (grads == single-device)."""
+    from semanticsegmentation_tensorflow_tpu.parallel import make_mesh_2d
+
+    kw = dict(name="deeplab", width_mult=1.0, aspp_features=16,
+              rates=(2, 4), dropout_rate=0.0, packed_stage1=True,
+              pallas_pool=True, pallas_spmd=True, dtype=jnp.float32)
+    _equality_vs_single_device(kw, make_mesh_2d(2, 4), _batch(4, h=64, w=32))
+
+
 def test_spatial_sharded_pallas_segnet_stage1_matches_single_device():
     # loss rtol 5e-5: SegNet's full-width (width_mult=1) tree makes the
     # partitioned CE reduction's f32 summation-order noise ~2e-5; the
