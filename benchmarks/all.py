@@ -435,9 +435,12 @@ def main() -> int:
         ("unet_kitti_fullres", "unet", 8, 384, 1248, 2,
          dict(unet_canon, packed_stage0=False)),
         ("segnet", "segnet", 8, 384, 1248, 2, dict(segnet_canon)),
-        ("deeplab", "deeplab", 8, 384, 1248, 2, {}),
+        # deeplab defaults to the packed stage1 since round 5 — the FLOP
+        # denominator stays the unpacked canonical build (same rule as
+        # fcn8s/segnet: packing's tap regrouping changes the FLOP count)
+        ("deeplab", "deeplab", 8, 384, 1248, 2, dict(unpacked)),
         ("deeplab_os16", "deeplab", 8, 384, 1248, 2,
-         {"output_stride": 16}),
+         dict(unpacked, output_stride=16)),
     ]:
         canon_kwargs = kw.pop("canon_kwargs", None)
         r = bench_train(name, bs, bh, bw, steps, display=disp,
