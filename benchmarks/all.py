@@ -7,6 +7,14 @@ the rest: per-model train img/s at KITTI resolution and the inference paths
 (batched + the reference's single-image mode).
 
     python benchmarks/all.py [--quick]
+    python benchmarks/all.py --only deeplab,deeplab_os16,int8   # splice-refresh
+
+`--only` re-benches just the named rows and splices them into the existing
+results.json (each refreshed row gets its own `when` stamp) — a full sweep
+costs >1h of serialized TPU time through the tunnel, so single-knob changes
+(e.g. a new model default) refresh only the rows they touch. Tokens: the
+train-row display names (fcn8s, unet_cityscapes, unet_kitti_fullres,
+segnet, deeplab, deeplab_os16) plus `infer`, `int8`, `sweep`.
 """
 
 from __future__ import annotations
@@ -396,14 +404,38 @@ def bench_sweep(n_images: int, batch: int, tmp_root: str) -> dict:
                 "overlay_encode": round(encode_s / n_leg * 1000, 2)}}
 
 
+def splice_results(old: dict, new_rows: list, when: str) -> dict:
+    """Merge `--only` re-benched rows into an existing results.json dict.
+
+    Matching rows are replaced in place (file order preserved), genuinely
+    new rows append, untouched rows keep their original capture context.
+    Each refreshed row gets its own ``when`` stamp and the meta records
+    ``refreshed`` so mixed-age files stay honest.
+    """
+    by_name = {r["name"]: r for r in old["results"]}
+    for r in new_rows:
+        r = dict(r, when=when)
+        by_name[r["name"]] = r
+    return {"meta": {**old["meta"], "refreshed": when},
+            "results": list(by_name.values())}
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="fewer steps")
     p.add_argument("--infer-all", action="store_true",
                    help="also bench device inference for segnet/unet/"
                         "deeplab (one extra compile each)")
+    p.add_argument("--only", default=None,
+                   help="comma list of rows to re-bench and splice into the "
+                        "existing results.json (train display names and/or "
+                        "infer,int8,sweep); others are left untouched")
     args = p.parse_args()
     steps = 5 if args.quick else 12
+    only = set(args.only.split(",")) if args.only else None
+
+    def _want(token: str) -> bool:
+        return only is None or token in only
 
     from bench import _check_tpu_tunnel
     _check_tpu_tunnel()   # fail fast, never hang, when the relay is dead
@@ -442,35 +474,47 @@ def main() -> int:
         ("deeplab_os16", "deeplab", 8, 384, 1248, 2,
          dict(unpacked, output_stride=16)),
     ]:
+        if not _want(disp):
+            continue
         canon_kwargs = kw.pop("canon_kwargs", None)
         r = bench_train(name, bs, bh, bw, steps, display=disp,
                         num_classes=nc, canon_kwargs=canon_kwargs, **kw)
         print(r)
         results.append(r)
-    for bs in (1, 8):
-        r = bench_infer(bs, steps)
+    if _want("infer"):
+        for bs in (1, 8):
+            r = bench_infer(bs, steps)
+            print(r)
+            results.append(r)
+    if _want("int8"):
+        r = bench_infer_int8(8, steps)
         print(r)
         results.append(r)
-    r = bench_infer_int8(8, steps)
-    print(r)
-    results.append(r)
     if args.infer_all:
         for name in ("segnet", "unet", "deeplab"):
             r = bench_infer_model(name, 8, steps)
             print(r)
             results.append(r)
 
-    import tempfile
-    with tempfile.TemporaryDirectory() as td:
-        r = bench_sweep(16 if args.quick else 64, 8, td)
-    print(r)
-    results.append(r)
+    if _want("sweep"):
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            r = bench_sweep(16 if args.quick else 64, 8, td)
+        print(r)
+        results.append(r)
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "results.json")
     meta = {"device": str(jax.devices()[0]), "when": time.strftime("%F %T")}
-    with open(out_path, "w") as f:
-        json.dump({"meta": meta, "results": results}, f, indent=2)
+    if only is not None:
+        with open(out_path) as f:
+            old = json.load(f)
+        merged = splice_results(old, results, meta["when"])
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2)
+    else:
+        with open(out_path, "w") as f:
+            json.dump({"meta": meta, "results": results}, f, indent=2)
     print(f"wrote {out_path}")
     return 0
 

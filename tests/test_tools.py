@@ -218,3 +218,48 @@ def test_torchvision_pth_roundtrip_into_model(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(flat["stage3/conv2/kernel"]),
         src["features.14.weight"].transpose(2, 3, 1, 0))
+
+
+def test_bench_splice_results_preserves_order_and_stamps():
+    """benchmarks/all.py --only must replace rows in place, keep untouched
+    rows (and their capture context) bit-identical, stamp refreshed rows,
+    and append genuinely new rows at the end."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_all", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "all.py"))
+    ball = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ball)
+
+    old = {
+        "meta": {"device": "TPU v5 lite0", "when": "2026-08-19 10:39:01"},
+        "results": [
+            {"name": "fcn8s_train", "batch": 16, "images_per_sec": 146.2},
+            {"name": "deeplab_train", "batch": 8, "images_per_sec": 73.8},
+            {"name": "fcn8s_sweep_b8", "batch": 8,
+             "images_per_sec_e2e": 9.0},
+        ],
+    }
+    new_rows = [
+        {"name": "deeplab_train", "batch": 8, "images_per_sec": 82.0},
+        {"name": "deeplab_os16_train", "batch": 8, "images_per_sec": 120.0},
+    ]
+    merged = ball.splice_results(old, new_rows, when="2026-08-19 20:00:00")
+
+    names = [r["name"] for r in merged["results"]]
+    assert names == ["fcn8s_train", "deeplab_train", "fcn8s_sweep_b8",
+                     "deeplab_os16_train"]
+    by = {r["name"]: r for r in merged["results"]}
+    # untouched rows bit-identical (no stray stamp)
+    assert by["fcn8s_train"] == old["results"][0]
+    assert "when" not in by["fcn8s_sweep_b8"]
+    # refreshed rows replaced and stamped
+    assert by["deeplab_train"]["images_per_sec"] == 82.0
+    assert by["deeplab_train"]["when"] == "2026-08-19 20:00:00"
+    assert by["deeplab_os16_train"]["when"] == "2026-08-19 20:00:00"
+    # meta keeps the full-sweep capture time, adds the refresh stamp
+    assert merged["meta"]["when"] == "2026-08-19 10:39:01"
+    assert merged["meta"]["refreshed"] == "2026-08-19 20:00:00"
+    # input rows not mutated (splice_results copies before stamping)
+    assert "when" not in new_rows[0]
