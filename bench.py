@@ -142,6 +142,50 @@ def main() -> None:
             with open(flops_path, "w") as f:
                 json.dump(cache, f, indent=2)
 
+    # Lane-aware ceiling (the honest schedule-aware denominator, VERDICT r4
+    # next #3): the flat 0.95*peak target assumes every FLOP of the step can
+    # land on a fully-fed MXU, which no schedule can achieve for this model
+    # (fc-conv wgrads and 64-wide stages can't fill all 128 lanes). The
+    # lane-aware model (tools/roofline_model.py, reconciled against the
+    # round-3/5 on-chip profiles) charges each matmul its real 128-lane
+    # utilization plus HBM operand traffic. Its matmul-only ceiling for this
+    # exact step is printed next to the flat target so both denominators are
+    # visible every run; vs_baseline keeps the flat-peak contract. Computed
+    # by a host-side jaxpr walk on abstract values (no device work), cached
+    # under the same source-hash key as the canonical FLOPs.
+    lane_imgs = None
+    lane_key = flops_key + "-laneaware"
+    try:
+        with open(flops_path) as f:
+            lane_imgs = float(json.load(f)[lane_key])
+    except (OSError, KeyError, ValueError):
+        try:
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "roofline_model",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "roofline_model.py"))
+            rm = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(rm)
+            canon = FCN8s(num_classes=2, fc_features=fc, packed_stage1=False)
+            abs_state = jax.eval_shape(
+                lambda k: create_train_state(canon, k, (batch, h, w, 3), tx),
+                jax.random.key(0))
+            abs_batch = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), hbm_batch)
+            a = rm.analyze(step, abs_state, abs_batch)
+            lane_imgs = batch / a["mm_ms"] * 1e3
+            try:
+                with open(flops_path) as f:
+                    cache = json.load(f)
+            except (OSError, ValueError):
+                cache = {}
+            cache[lane_key] = lane_imgs
+            with open(flops_path, "w") as f:
+                json.dump(cache, f, indent=2)
+        except Exception as e:  # informational only — never kill the headline
+            print(f"lane-aware ceiling unavailable: {e!r}", file=sys.stderr)
+
     # The production model: packed stage1 + Pallas pool (auto on TPU).
     # BENCH_MODEL_KWARGS (json dict) is the tuning harness's A/B knob for
     # perf flags (e.g. '{"packed_stage2_entry": true}') — it changes the
@@ -225,6 +269,14 @@ def main() -> None:
             f"{target:.1f} img/s on {kind or 'unknown device'}"
             + infer_txt,
             file=sys.stderr)
+        if lane_imgs:
+            print(
+                f"lane-aware roofline (tools/roofline_model.py): "
+                f"matmul-only ceiling {lane_imgs:.0f} img/s -> measured = "
+                f"{imgs_per_sec / lane_imgs * 100:.0f}% of it — the "
+                "schedule-honest denominator (ARCHITECTURE.md 'Analytic "
+                "lane-aware roofline'); vs_baseline keeps the flat-peak "
+                "contract", file=sys.stderr)
     else:
         vs_baseline = 0.0
         print(f"step: {ms_per_step:.2f} ms | {imgs_per_sec:.1f} img/s | "
