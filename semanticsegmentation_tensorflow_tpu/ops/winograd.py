@@ -209,15 +209,23 @@ def winograd_conv2d_ref(x: jax.Array, w: jax.Array, variant: str = "f2",
     return y[:, :h, :wd, :]
 
 
-def direct_conv2d(x: jax.Array, w: jax.Array, dtype=None) -> jax.Array:
-    """The direct SAME conv this module reformulates (oracle)."""
+def direct_conv2d(x: jax.Array, w: jax.Array, dtype=None,
+                  preferred=jnp.float32) -> jax.Array:
+    """The direct SAME conv this module reformulates (oracle).
+
+    `preferred` is the conv output/accumulation request (MXU accumulation
+    is f32 in hardware either way). Pass the operand dtype when the conv
+    must be differentiable: with mixed output/operand dtypes JAX's conv
+    transpose rule builds a bf16×f32 wgrad conv, which
+    lax.conv_general_dilated rejects.
+    """
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
     p0 = w.shape[0] // 2
     return lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((p0, p0), (p0, p0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=preferred)
 
 
 # ---------------------------------------------------------------------------

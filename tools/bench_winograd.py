@@ -60,8 +60,13 @@ def bench_one(name, h, w, cin, cout, batch, steps, fwd_only, ksize=3):
     b = jnp.asarray(rng.normal(size=(cout,)) * 0.1, jnp.float32)
 
     def direct(x, k, b):
+        # bwd mode needs the conv's output dtype to match the operands
+        # (see direct_conv2d's `preferred` doc); fwd keeps the f32
+        # accumulate-then-cast the round-3 table was measured with
+        pref = jnp.float32 if fwd_only else jnp.bfloat16
         return jax.nn.relu(
-            direct_conv2d(x, k.astype(jnp.bfloat16)).astype(jnp.bfloat16)
+            direct_conv2d(x, k.astype(jnp.bfloat16),
+                          preferred=pref).astype(jnp.bfloat16)
             + b.astype(jnp.bfloat16))
 
     row = {"layer": name, "shape": f"{h}x{w}x{cin}->{cout}"}
