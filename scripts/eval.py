@@ -138,16 +138,13 @@ def main(argv=None):
                        dc.image_size, split=split)
     print(f"evaluating split={split!r} ({len(ds.train_images)} images)")
     qapply = None
-    if not args.int8 and os.path.exists(
-            os.path.join(args.checkpoint_dir, "qat_scales.json")):
-        # Measured on-chip (H4, 2026-08-19): fp eval of a QAT-trained
-        # checkpoint saw loss=455 vs 0.69 with the scales applied —
-        # training under activation fake-quant clamps lets unclamped fp
-        # activations drift to huge logit magnitudes.
-        print("warning: checkpoint was trained with --qat "
-              "(qat_scales.json present); evaluating WITHOUT --int8 "
-              "removes the activation clamps the model was trained "
-              "under and can inflate the loss", file=sys.stderr)
+    # measured rationale lives on the helper (H4, 2026-08-19: loss 455 fp
+    # vs 0.69 with scales applied)
+    from semanticsegmentation_tensorflow_tpu.infer.quant import (
+        warn_qat_fp_eval,
+    )
+
+    warn_qat_fp_eval(args.checkpoint_dir, args.int8, verb="evaluating")
     if args.int8:
         import numpy as np
 

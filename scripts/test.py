@@ -109,13 +109,11 @@ def main(argv=None):
                   "(must be a mesh multiple)")
     ds = KittiRoadDataset(args.data_dir or dc.data_dir, image_size=dc.image_size)
     apply_fn = None
-    if not args.int8 and os.path.exists(
-            os.path.join(args.checkpoint_dir, "qat_scales.json")):
-        # see scripts/eval.py: fp inference of a QAT-trained checkpoint
-        # drops the activation clamps the model was trained under
-        print("warning: checkpoint was trained with --qat "
-              "(qat_scales.json present); running WITHOUT --int8 removes "
-              "the trained activation clamps", file=sys.stderr)
+    from semanticsegmentation_tensorflow_tpu.infer.quant import (
+        warn_qat_fp_eval,
+    )
+
+    warn_qat_fp_eval(args.checkpoint_dir, args.int8, verb="running")
     if args.int8:
         from semanticsegmentation_tensorflow_tpu.infer import quant
 

@@ -395,6 +395,30 @@ def load_act_scales(path: str) -> dict[str, float]:
         return {str(k): float(v) for k, v in json.load(f).items()}
 
 
+def warn_qat_fp_eval(checkpoint_dir: str, int8: bool, *,
+                     verb: str = "evaluating", file=None) -> bool:
+    """Warn when a QAT-trained checkpoint is about to run in fp.
+
+    Measured on-chip (2026-08-19, same checkpoint): fp eval of a
+    ``--qat``-trained checkpoint hit loss=455.6 while the ``--int8`` eval
+    (scales applied) read 0.6901 — training under activation fake-quant
+    clamps lets unclamped fp activations drift to huge logit magnitudes.
+    Expected behavior, but silent without this warning. Returns True iff
+    the warning fired (``qat_scales.json`` present and ``int8`` False).
+    """
+    import os
+    import sys
+
+    if int8 or not os.path.exists(
+            os.path.join(checkpoint_dir, "qat_scales.json")):
+        return False
+    print(f"warning: checkpoint was trained with --qat "
+          f"(qat_scales.json present); {verb} WITHOUT --int8 removes "
+          f"the activation clamps the model was trained under and can "
+          f"inflate the loss", file=file if file is not None else sys.stderr)
+    return True
+
+
 def calib_batches_from_files(paths: Sequence[str],
                              image_size: tuple[int, int],
                              mean: Sequence[float], std: Sequence[float],

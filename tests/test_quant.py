@@ -574,3 +574,34 @@ class TestQuantSafeRebuild:
         # rewrites — close, not bitwise
         np.testing.assert_allclose(yq, yp, atol=0.15, rtol=0.05,
                                    err_msg=name)
+
+
+class TestQatFpEvalWarning:
+    """eval/test CLIs must warn when a QAT checkpoint runs without its
+    activation clamps (measured on-chip: fp loss 455.6 vs 0.6901 with the
+    scales applied — scripts/eval.py round-5 finding)."""
+
+    def test_warns_when_scales_present_and_fp(self, tmp_path, capsys):
+        quant.save_act_scales(str(tmp_path / "qat_scales.json"), {"c0": 1.5})
+        import io
+
+        buf = io.StringIO()
+        assert quant.warn_qat_fp_eval(str(tmp_path), int8=False, file=buf)
+        msg = buf.getvalue()
+        assert "qat_scales.json present" in msg
+        assert "--int8" in msg
+
+    def test_silent_when_int8(self, tmp_path):
+        quant.save_act_scales(str(tmp_path / "qat_scales.json"), {"c0": 1.5})
+        import io
+
+        buf = io.StringIO()
+        assert not quant.warn_qat_fp_eval(str(tmp_path), int8=True, file=buf)
+        assert buf.getvalue() == ""
+
+    def test_silent_when_no_scales(self, tmp_path):
+        import io
+
+        buf = io.StringIO()
+        assert not quant.warn_qat_fp_eval(str(tmp_path), int8=False, file=buf)
+        assert buf.getvalue() == ""

@@ -245,3 +245,26 @@ def test_model_level_winograd_xla_routing():
     y0 = base.apply(vs, x)
     y1 = wino.apply(vs, x)
     assert _relrms(y1, jnp.asarray(y0, jnp.float32)) < 1.5e-2
+
+
+def test_direct_conv2d_bf16_operands_differentiable():
+    """Regression for the bench tool's fwd+bwd crash: jax.grad over a conv
+    whose preferred_element_type (f32) differs from its bf16 operands
+    builds a mixed-dtype wgrad conv the transpose rule rejects. With
+    `preferred` set to the operand dtype the conv must be differentiable,
+    and its grads must match the f32 path (bf16 tolerance)."""
+    x = _rand(7, (1, 8, 12, 8)).astype(jnp.bfloat16)
+    k = _rand(8, (3, 3, 8, 8), scale=0.3).astype(jnp.bfloat16)
+
+    def loss(xx, kk):
+        return jnp.sum(direct_conv2d(xx, kk, preferred=jnp.bfloat16)
+                       .astype(jnp.float32))
+
+    gx, gk = jax.grad(loss, argnums=(0, 1))(x, k)
+    gx32, gk32 = jax.grad(
+        lambda xx, kk: jnp.sum(direct_conv2d(xx, kk)), argnums=(0, 1))(
+        x.astype(jnp.float32), k.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(gx, np.float32), gx32,
+                               rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(gk, np.float32), gk32,
+                               rtol=0.05, atol=0.05)
