@@ -116,6 +116,52 @@ def softmax_cross_entropy_sum_cmajor(
     return jnp.sum(ce * valid), jnp.sum(valid)
 
 
+def softmax_cross_entropy_sum_binary(
+    logits: jax.Array,
+    labels: jax.Array,
+    valid_mask: jax.Array | None = None,
+    class_weights: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Integer-label CE sum for the BINARY (C==2) case, in full-lane
+    PLANE form: every elementwise/reduce pass runs on [N, H, W] arrays
+    (W in the 128-lane dimension) instead of C-minor [N, H, W, 2]
+    T(2,128) tilings (2/128 lane use — the ~13 ms/step loss+argmax
+    chain in the round-5 SegNet b8 profile).
+
+    The reformulation: with d = logit1 - logit0,
+
+        lse(l0, l1) = l0 + softplus(d)
+        CE = lse - logit[label] = softplus(d) - y * d,   y = (label == 1)
+
+    l0 cancels exactly, so the only C-minor touches left are the two
+    strided slices producing d (and, under autodiff, the +/-g pad
+    writing d_logits) — everything else (softplus, sigmoid backward,
+    mask/weight multiplies, sums) is plane work. Unlike the cmajor form
+    (rejected on-chip: the [N,H,W,2]->[N,2,H,W] relayout costs more
+    than it saves) there is NO transpose.
+
+    Math matches :func:`softmax_cross_entropy_sum` on one-hot labels to
+    f32 roundoff (computed in f32 regardless of logits dtype). Labels
+    outside {0, 1} are treated as class 0 (the one-hot form would yield
+    an all-zero target row instead) — such pixels must be masked by
+    ``valid_mask``, which is the existing contract for ignore labels.
+    """
+    if logits.shape[-1] != 2:
+        raise ValueError(f"binary CE needs C==2 logits, got {logits.shape}")
+    l0 = logits[..., 0].astype(jnp.float32)
+    l1 = logits[..., 1].astype(jnp.float32)
+    d = l1 - l0
+    y = (labels == 1).astype(jnp.float32)
+    ce = jax.nn.softplus(d) - y * d  # [N, H, W]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        ce = ce * (w[0] + (w[1] - w[0]) * y)
+    if valid_mask is None:
+        return jnp.sum(ce), jnp.asarray(ce.size, ce.dtype)
+    valid = valid_mask.astype(ce.dtype)
+    return jnp.sum(ce * valid), jnp.sum(valid)
+
+
 def softmax_cross_entropy_loss(
     logits: jax.Array,
     labels_onehot: jax.Array,

@@ -30,6 +30,7 @@ from semanticsegmentation_tensorflow_tpu.parallel.mesh import (
 from semanticsegmentation_tensorflow_tpu.train.loss import (
     focal_loss_sum,
     softmax_cross_entropy_sum,
+    softmax_cross_entropy_sum_binary,
     softmax_cross_entropy_sum_cmajor,
 )
 from semanticsegmentation_tensorflow_tpu.train.metrics import confusion_matrix
@@ -39,22 +40,39 @@ AugmentFn = Callable[[jax.Array, dict], dict]  # (rng, batch) -> batch
 
 
 def _loss_impl() -> str:
-    """'cmajor' computes the logits-consumer chain (CE + argmax) in
-    class-major [N, C, H, W] form — full vector lanes at tiny C instead of
-    the C-minor T(2,128)/T(4,128) tilings the round-5 SegNet profile
-    measured at ~10 ms/step. 'nhwc' is the classic one-hot form. Read at
-    trace time (the SEG_CM_IMPL pattern); default pending the on-chip A/B."""
+    """Layout strategy for the logits-consumer chain (CE + argmax):
+
+    * 'nhwc'   — the classic one-hot form (C-minor T(2,128)/T(4,128)
+      tilings at tiny C: 2/128 lane use; ~13 ms/step in the round-5
+      SegNet b8 profile).
+    * 'cmajor' — class-major [N, C, H, W] relayout. REJECTED on-chip
+      (round 5: -2.6..-7% everywhere — the transpose costs more than
+      the lane-starved chain it replaces); kept as an A/B leg.
+    * 'binary' — C==2 logit-difference PLANE form (loss.py
+      softmax_cross_entropy_sum_binary + l1>l0 argmax): no transpose,
+      no one-hot; silently falls back to nhwc when C != 2 or the loss
+      is not plain CE.
+
+    Read at trace time (the SEG_CM_IMPL pattern); default pending the
+    on-chip A/B."""
     import os
 
     v = os.environ.get("SEG_LOSS_IMPL", "nhwc")
-    if v not in ("nhwc", "cmajor"):
-        raise ValueError(f"SEG_LOSS_IMPL={v!r}: want 'nhwc' or 'cmajor'")
+    if v not in ("nhwc", "cmajor", "binary"):
+        raise ValueError(
+            f"SEG_LOSS_IMPL={v!r}: want 'nhwc', 'cmajor' or 'binary'")
     return v
 
 
 def _argmax_classes(logits: jax.Array) -> jax.Array:
-    if _loss_impl() == "cmajor":
+    impl = _loss_impl()
+    if impl == "cmajor":
         return jnp.argmax(jnp.moveaxis(logits, -1, 1), axis=1)
+    if impl == "binary" and logits.shape[-1] == 2:
+        # bit-exact with argmax for C==2: argmax breaks ties toward the
+        # lower index, and l1 > l0 is False on ties. Comparing the raw
+        # slices (not sign(l1 - l0)) avoids subtraction rounding.
+        return (logits[..., 1] > logits[..., 0]).astype(jnp.int32)
     return jnp.argmax(logits, axis=-1)
 
 
@@ -87,8 +105,12 @@ def _forward_loss(state: TrainState, params, batch: dict, num_classes: int,
     # Return the UN-normalized CE sum + valid count; the caller divides by
     # the (psum'd, when sharded) global valid count so mesh and no-mesh
     # training are numerically identical even with uneven masks.
-    if (loss_sum_fn is softmax_cross_entropy_sum
-            and _loss_impl() == "cmajor"):
+    impl = _loss_impl()
+    if (loss_sum_fn is softmax_cross_entropy_sum and impl == "binary"
+            and num_classes == 2):
+        ce_sum, valid_sum = softmax_cross_entropy_sum_binary(
+            logits, batch["label"], batch.get("valid"), class_weights)
+    elif loss_sum_fn is softmax_cross_entropy_sum and impl == "cmajor":
         ce_sum, valid_sum = softmax_cross_entropy_sum_cmajor(
             logits, batch["label"], num_classes, batch.get("valid"),
             class_weights)
@@ -388,7 +410,14 @@ def _eval_step_body(state: TrainState, batch: dict, *, num_classes: int,
         from semanticsegmentation_tensorflow_tpu.train.metrics import (
             binary_confidence_histogram,
         )
-        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        if _loss_impl() == "binary":
+            # softmax(l)[1] == sigmoid(l1 - l0) exactly; plane form keeps
+            # the full-res elementwise out of C-minor T(2,128) layouts
+            prob = jax.nn.sigmoid(
+                logits[..., 1].astype(jnp.float32)
+                - logits[..., 0].astype(jnp.float32))
+        else:
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
         out["road_hist"] = binary_confidence_histogram(
             prob, batch["label"] == 1, batch.get("valid"))
     if axis is not None:
