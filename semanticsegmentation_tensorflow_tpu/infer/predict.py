@@ -90,6 +90,11 @@ class Predictor:
             # spaces widen the wire dtype instead of silently wrapping.
             logits = logits_fn(variables, image_u8)
             label_dt = jnp.uint8 if logits.shape[-1] <= 256 else jnp.int32
+            if logits.shape[-1] == 2:
+                # bit-exact with argmax (ties -> class 0) but plane-form:
+                # no C-minor T(2,128) reduce at full resolution (the
+                # SEG_LOSS_IMPL=binary trick, train/step.py)
+                return (logits[..., 1] > logits[..., 0]).astype(label_dt)
             return jnp.argmax(logits, axis=-1).astype(label_dt)
 
         # wire format for the sweep's label fetch: tiny class spaces pack on

@@ -36,7 +36,13 @@ def argmax_colormap_overlay(
     Returns:
       (overlay_u8 [..., H, W, 3], labels [..., H, W] int32)
     """
-    labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if logits.shape[-1] == 2:
+        # bit-exact with argmax (ties -> class 0) in plane form — no
+        # C-minor T(2,128) reduce at full resolution (the
+        # SEG_LOSS_IMPL=binary trick, train/step.py)
+        labels = (logits[..., 1] > logits[..., 0]).astype(jnp.int32)
+    else:
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     colors = palette.astype(jnp.float32)[labels]  # [..., H, W, 3]
     img = image_u8.astype(jnp.float32)
     blended = img * (1.0 - alpha) + colors * alpha
